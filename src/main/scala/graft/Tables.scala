@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata catalog: one parquet file per table under a scale-factor dir
+  * (TESTDATA.md). Mirrors the reference's "open a read-only database and
+  * address tables by name" model (query_llm.py:441-455) with the Spark
+  * session catalog as the database.
+  *
+  * Views are registered once per (session, dir): at 100 TB each view is a
+  * partitioned parquet dataset and re-resolving footers per query would be
+  * pure overhead.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    // timestamp. Read nanos as long and floor-divide to microseconds —
+    // exactly the ns→µs truncation DuckDB applies, so the oracle agrees.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer div, not double div: 2024 epoch-nanos exceed 2^53
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Register all testdata tables as temp views (idempotent per session+dir).
+    * Safe if a different dir is requested later: views are re-pointed.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = (System.identityHashCode(spark).toString, dir)
+    if (!registered.contains(key)) {
+      names.foreach { n =>
+        load(spark, dir, n).createOrReplaceTempView(n)
+      }
+      registered.add(key) // only after full success: no half-registered state
+    }
+  }
+
+  /** Load + register one table and return it. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.table(name)
+  }
+}

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over views named after the
+testdata tables in <sfDir>, and compares: row count, column names (sorted),
+and cell values (columns sorted by name, exact compare with a small float
+tolerance report). Exit 1 if any query mismatches.
+
+Driver-side tooling only — not part of the Scala library.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def rows_of(rel_df):
+    cols = sorted(rel_df.columns)
+    out = []
+    for _, row in rel_df[cols].iterrows():
+        out.append(tuple(norm_cell(v) for v in row.tolist()))
+    return cols, out
+
+
+def cells_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        # report near-misses distinctly: equal to 1e-9 relative
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(cells_equal(x, y) for x, y in zip(a, b))
+    # timestamps etc: compare str forms as fallback only when equal
+    return a == b or str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    failures = []
+    names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    for name in names:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            if len(spark_df) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        sc, srows = rows_of(spark_df)
+        dc, drows = rows_of(duck_df)
+        if sc != dc:
+            failures.append((name, f"columns differ: spark={sc} duck={dc}"))
+            continue
+        if len(srows) != len(drows):
+            failures.append(
+                (name, f"row count differs: spark={len(srows)} duck={len(drows)}"))
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            if not all(cells_equal(x, y) for x, y in zip(a, b)):
+                bad = (i, a, b)
+                break
+        if bad:
+            failures.append(
+                (name, f"row {bad[0]} differs:\n    spark={bad[1]}\n    duck ={bad[2]}"))
+            continue
+        # strict-hash advisory: exact equality including float bits
+        exact = all(a == b for a, b in zip(srows, drows))
+        tag = "OK" if exact else "OK(~float)"
+        print(f"  [{tag}] {name}: {len(srows)} rows")
+        if not exact:
+            for i, (a, b) in enumerate(zip(srows, drows)):
+                if a != b:
+                    print(f"      first float-only diff at row {i}:")
+                    print(f"        spark={a}")
+                    print(f"        duck ={b}")
+                    break
+
+    if failures:
+        print(f"\nFAILURES ({len(failures)}):")
+        for n, msg in failures:
+            print(f"  {n}: {msg}")
+        sys.exit(1)
+    print(f"\nall {len(names)} queries OK")
+
+
+if __name__ == "__main__":
+    main()
