@@ -11,7 +11,8 @@ import graft.ops._
 object SparkEntry {
 
   /** All operator groups; each contributes named queries + DuckDB oracles. */
-  private def all: Seq[Q] = Relational.queries
+  private def all: Seq[Q] =
+    Relational.queries ++ Joins.queries ++ Analytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Analytic surface (SURVEY.md §2.3 E1-E4): window functions (ranking /
+  * analytic / frames), set operations, ROLLUP / CUBE / GROUPING SETS, and
+  * approximate aggregates.
+  *
+  * Windows partition by a key → one shuffle on the partition key, then
+  * in-partition sort; no driver involvement. ROLLUP/CUBE expand in the
+  * aggregate (Expand node) with partial aggregation map-side.
+  */
+object Analytics {
+  import Det._
+
+  val queries: Seq[Q] = Seq(
+    // E1 ranking: row_number / rank / dense_rank / ntile. Top-3 customers
+    // per nation by balance; total-order tiebreak on c_custkey keeps every
+    // ranking function deterministic.
+    Q(
+      "q17_window_rank",
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk,
+        |    NTILE(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey ASC)
+        |) WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.table(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_nationkey"), col("rn"))
+    },
+
+    // E1 analytic: lag / lead / first / last over per-customer order
+    // history. (o_custkey, o_orderdate, o_orderkey) is a total order.
+    Q(
+      "q18_window_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey) OVER w AS prev_order,
+        |  LEAD(o_orderkey) OVER w AS next_order,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  DATE_DIFF('day',
+        |    CAST(LAG(o_orderdate) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders
+        |WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.table(s, dir, "orders")
+        .filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date"))
+            .as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // E1 frames: running total (unbounded preceding) + 3-row moving
+    // average per supplier. Decimal running sums stay exact, then cast.
+    Q(
+      "q19_window_frames",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_rev,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        |    AS moving_avg
+        |FROM lineitem
+        |WHERE l_suppkey <= 2
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val order = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving = order.rowsBetween(-2, Window.currentRow)
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 2)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(price).over(running).cast("double").as("running_rev"),
+          round(sum(price).over(moving).cast("double") /
+            count(lit(1)).over(moving), 6).as("moving_avg"),
+          col("l_shipdate"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .drop("l_shipdate")
+    },
+
+    // E2 set ops: EXCEPT / INTERSECT / UNION ALL over nation-key sets.
+    Q(
+      "q20_set_ops",
+      """SELECT 'customer_only' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS k FROM supplier)
+        |UNION ALL
+        |SELECT 'both' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS k FROM supplier)
+        |ORDER BY tag, k""".stripMargin) { (s, dir) =>
+      val c = Tables.table(s, dir, "customer")
+        .select(col("c_nationkey").as("k"))
+      val sup = Tables.table(s, dir, "supplier")
+        .select(col("s_nationkey").as("k"))
+      val only = c.except(sup).select(lit("customer_only").as("tag"), col("k"))
+      val both = c.intersect(sup).select(lit("both").as("tag"), col("k"))
+      only.unionAll(both).orderBy(col("tag"), col("k"))
+    },
+
+    // E3 ROLLUP: order counts at (priority, status), (priority), ().
+    // NULLS FIRST is explicit — Spark ASC defaults nulls-first, DuckDB
+    // nulls-last (SURVEY.md §7.4 trap #1).
+    Q(
+      "q21_rollup",
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+         |  GROUPING(o_orderpriority) AS g_pri, GROUPING(o_orderstatus) AS g_st
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY o_orderpriority ASC NULLS FIRST,
+         |         o_orderstatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderpriority")).as("g_pri"),
+          grouping(col("o_orderstatus")).as("g_st"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
+    // E3 CUBE: all 4 grouping combinations of returnflag × linestatus.
+    Q(
+      "q22_cube",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${moneySumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |         l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // E3 GROUPING SETS through the SQL front end (the bridge executes SQL
+    // text — this is the spark.sql path the Runner uses).
+    Q(
+      "q23_grouping_sets",
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        |ORDER BY c_mktsegment ASC NULLS FIRST,
+        |         c_nationkey ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+          |FROM customer
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+          |ORDER BY c_mktsegment ASC NULLS FIRST,
+          |         c_nationkey ASC NULLS FIRST""".stripMargin)
+    },
+
+    // E4 approx distinct: HLL++ on low-cardinality keys is exact in both
+    // engines, keeping the oracle hash-stable; the high-cardinality path is
+    // covered exactly by q07's COUNT(DISTINCT).
+    Q(
+      "q24_approx_distinct",
+      """SELECT approx_count_distinct(l_returnflag) AS n_flags,
+        |       approx_count_distinct(l_linestatus) AS n_status,
+        |       approx_count_distinct(l_returnflag || '|' || l_linestatus) AS n_combo
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_returnflag")).as("n_flags"),
+          approx_count_distinct(col("l_linestatus")).as("n_status"),
+          approx_count_distinct(
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus")))
+            .as("n_combo"))
+    },
+
+    // E4 quantiles: exact interpolated percentiles (both engines use the
+    // p*(n-1) linear-interpolation definition); rounded to kill last-bit
+    // float divergence. percentile_approx is the 100 TB path — same API
+    // shape, sketch-mergeable — but its sketch is not bit-compatible with
+    // DuckDB's, so the oracle pins the exact variant.
+    Q(
+      "q25_quantiles",
+      """SELECT o_orderpriority,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // E4 top-k heavy hitters: group-count + TakeOrderedAndProject — only k
+    // rows leave each partition after partial agg.
+    Q(
+      "q26_topk_heavy_hitters",
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |GROUP BY p_brand
+        |ORDER BY n DESC, p_brand ASC
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_brand").asc)
+        .limit(5)
+    })
+}

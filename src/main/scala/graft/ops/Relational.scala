@@ -27,6 +27,19 @@ object Det {
 
   def moneyAvgSql(c: String): String =
     s"ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 6)"
+
+  /** Exact revenue sum: price*(1-discount) with BOTH operands cast to
+    * DECIMAL(18,2) before multiplying (scale-4 exact product), summed
+    * exactly, result cast to double. Wrapping the double product in a
+    * decimal cast instead would round per-row and drift from Spark.
+    */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(1) - discount.cast(DecimalType(18, 2)))).cast("double")
+
+  def revenueSumSql(price: String, discount: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * " +
+      s"(1 - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
 }
 
 /** Core relational surface required by the reference (SURVEY.md §2.2

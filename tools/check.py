@@ -93,26 +93,20 @@ def main():
             failures.append(
                 (name, f"row count differs: spark={len(srows)} duck={len(drows)}"))
             continue
+        # STRICT: the driver hash-compares, so require exact equality
+        # (including float bits); cells_equal only classifies the miss.
         bad = None
         for i, (a, b) in enumerate(zip(srows, drows)):
-            if not all(cells_equal(x, y) for x, y in zip(a, b)):
-                bad = (i, a, b)
+            if a != b:
+                near = all(cells_equal(x, y) for x, y in zip(a, b))
+                kind = "float-low-bits" if near else "VALUE"
+                bad = (i, a, b, kind)
                 break
         if bad:
             failures.append(
-                (name, f"row {bad[0]} differs:\n    spark={bad[1]}\n    duck ={bad[2]}"))
+                (name, f"row {bad[0]} differs ({bad[3]}):\n    spark={bad[1]}\n    duck ={bad[2]}"))
             continue
-        # strict-hash advisory: exact equality including float bits
-        exact = all(a == b for a, b in zip(srows, drows))
-        tag = "OK" if exact else "OK(~float)"
-        print(f"  [{tag}] {name}: {len(srows)} rows")
-        if not exact:
-            for i, (a, b) in enumerate(zip(srows, drows)):
-                if a != b:
-                    print(f"      first float-only diff at row {i}:")
-                    print(f"        spark={a}")
-                    print(f"        duck ={b}")
-                    break
+        print(f"  [OK] {name}: {len(srows)} rows")
 
     if failures:
         print(f"\nFAILURES ({len(failures)}):")
