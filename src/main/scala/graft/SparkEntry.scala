@@ -13,7 +13,8 @@ object SparkEntry {
   /** All operator groups; each contributes named queries + DuckDB oracles. */
   private def all: Seq[Q] =
     Relational.queries ++ Joins.queries ++ Analytics.queries ++
-      JsonTime.queries ++ Nested.queries
+      JsonTime.queries ++ Nested.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2.3
+  * E6 + the training-data-pipeline mandate): exact, deterministic
+  * representative selection, n-gram Jaccard near-dup, MinHash signatures,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale shape: per-document signature computation is a pure map stage;
+  * candidate pairing is always *blocked* (language + length band, LSH band,
+  * same label) so the pair join is an equi-join on the blocking key — never
+  * an unblocked O(n²) cross join. All hashes are explicit integer
+  * polynomials (not engine-native hash()) so Spark and DuckDB agree bit-for-
+  * bit and signatures stay stable across engine versions.
+  */
+object Dedup {
+
+  /** Spark-side SQL fragments (Spark HOF dialect). */
+  private val sparkTokenHashes =
+    // distinct tokens -> rolling-131 polynomial hash (mod 1e9+7)
+    "transform(array_distinct(split(text, ' ')), " +
+      "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a * 131 + b) % 1000000007))"
+
+  /** DuckDB-side equivalent of [[sparkTokenHashes]]. */
+  private val duckTokenHashes =
+    "list_transform(list_distinct(string_split(text, ' ')), " +
+      "t -> list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      "(a, b) -> (a * 131 + b) % 1000000007))"
+
+  val queries: Seq[Q] = Seq(
+    // E6 exact dedup, corpus-level summary. COUNT(DISTINCT text) hashes the
+    // full text server-side — the 100 TB version distincts on a content
+    // hash (q43's doc_hash) instead of shipping full texts.
+    Q(
+      "q44_dedup_exact",
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+    },
+
+    // E6 deterministic survivor selection: min(doc_id) per group — the
+    // distributed-safe formulation of dropDuplicates (whose survivor is
+    // partition-order-dependent and therefore unreproducible at scale).
+    Q(
+      "q45_dedup_representative",
+      """SELECT lang, source, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_members
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("rep_doc_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // E6 near-dup by token-set Jaccard with (lang, length-band) blocking:
+    // the pair join is equi on lang with a ±5-char length residual, so at
+    // scale it shuffles once on the blocking key instead of crossing n².
+    Q(
+      "q46_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+        |FROM toks a JOIN toks b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 5
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_distinct(split(col("text"), " ")).as("tk"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+        col("n_chars").as("nc_a"), col("tk").as("tk_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+        col("n_chars").as("nc_b"), col("tk").as("tk_b"))
+      val jac = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+        size(array_distinct(concat(col("tk_a"), col("tk_b"))))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("nc_a") - col("nc_b")) <= 5)
+        .filter(jac >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // E6 MinHash: 8-function signature over token hashes + 2 LSH band keys
+    // (4 rows/band). Documents sharing a band key are near-dup candidates;
+    // the band key is the blocking key a 100 TB pipeline groups on.
+    Q(
+      "q47_minhash_signature",
+      s"""WITH th AS (
+         |  SELECT doc_id, $duckTokenHashes AS hashes FROM documents)
+         |SELECT doc_id,
+         |  list_transform(range(8), i ->
+         |    list_min(list_transform(hashes,
+         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))) AS minhash,
+         |  array_to_string(list_transform(range(4), i ->
+         |    list_min(list_transform(hashes,
+         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS band0,
+         |  array_to_string(list_transform(range(4, 8), i ->
+         |    list_min(list_transform(hashes,
+         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS band1
+         |FROM th
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sig = "transform(sequence(0, 7), i -> " +
+        s"array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % 1000000007)))"
+      Tables.table(s, dir, "documents")
+        .withColumn("th", expr(sparkTokenHashes))
+        .withColumn("minhash", expr(sig))
+        .select(col("doc_id"), col("minhash"),
+          array_join(slice(col("minhash"), 1, 4), "-").as("band0"),
+          array_join(slice(col("minhash"), 5, 4), "-").as("band1"))
+        .orderBy(col("doc_id"))
+    },
+
+    // E6 SimHash: 30-bit signature — per bit, majority vote over token
+    // hashes — plus blocked pair search at Hamming distance <= 6. Pure
+    // list-lambda formulation: no explode, single map stage per doc.
+    Q(
+      "q48_simhash",
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    list_sum(list_transform(range(30), b ->
+         |      CASE WHEN list_sum(list_transform($duckTokenHashes,
+         |        h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= 5
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val simhashExpr =
+        "aggregate(transform(sequence(0, 29), b -> " +
+          s"CASE WHEN aggregate(transform($sparkTokenHashes, " +
+          "h -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END), 0, " +
+          "(a, x) -> a + x) > 0 THEN shiftleft(1L, b) ELSE 0L END), " +
+          "0L, (a, x) -> a + x)"
+      val sh = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(simhashExpr).as("simhash"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
+        col("n_chars").as("nc_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
+        col("n_chars").as("nc_b"), col("simhash").as("sh_b"))
+      val hamming = expr("bit_count(sh_a ^ sh_b)")
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("nc_a") - col("nc_b")) <= 5 && hamming <= 6)
+        .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // E6 embedding-cosine near-dup: label-blocked pairs above a cosine
+    // threshold (vectors are unit-norm, so cosine = dot). The fold is
+    // sequential over dimensions in both engines → bit-identical doubles.
+    // Threshold 0.3 exercises the operator on this synthetic corpus (no
+    // true near-dups exist; max pairwise cosine ≈ 0.37).
+    Q(
+      "q49_embedding_neardup",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_reduce(list_transform(range(len(a.embedding)),
+        |    i -> CAST(a.embedding[i+1] AS DOUBLE)
+        |       * CAST(b.embedding[i+1] AS DOUBLE)),
+        |    (x, y) -> x + y), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(len(a.embedding)),
+        |    i -> CAST(a.embedding[i+1] AS DOUBLE)
+        |       * CAST(b.embedding[i+1] AS DOUBLE)),
+        |    (x, y) -> x + y) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("embedding").as("emb_b"))
+      val dot = expr("aggregate(zip_with(emb_a, emb_b, " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b") && dot >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(dot, 6).as("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over `embeddings` (SURVEY.md §2.3 E7 + training-data
+  * mandate): brute-force cosine top-k (the correctness baseline), grouped
+  * per-query top-k, hyperplane-LSH bucketed ANN (the scale path), and
+  * MLlib MinHashLSH near-dup join on text (rows-only: its sketch is not
+  * SQL-expressible in DuckDB).
+  *
+  * Vectors are unit-norm so cosine = dot product. Dot products are
+  * sequential left-to-right double folds in BOTH engines → bit-identical,
+  * making thresholds and rankings hash-stable.
+  *
+  * Scale shape: brute-force top-k broadcasts the (tiny) query set and
+  * keeps per-partition heaps via TakeOrderedAndProject; LSH replaces the
+  * full scan with an equi-join on bucket signature. At 100 TB the bucket
+  * join is the only viable plan; the brute-force query stays as the
+  * recall oracle on samples.
+  */
+object Similarity {
+
+  /** Spark dot product of two array columns (sequential double fold). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB dot product (identical fold order). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), " +
+      s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Deterministic pseudo-random hyperplane component for LSH: pure
+    * integer LCG scaled by a power of two → exact double in both engines.
+    * plane(j, i) for plane j (0..7), dimension i (0..63).
+    */
+  private val planeSql = // same text is valid Spark SQL and DuckDB SQL;
+    // BIGINT cast: the product overflows INT (Spark 4 is ANSI by default)
+    "(((CAST(1103515245 AS BIGINT) * (j * 64 + i) + 12345) % 2147483648) " +
+      "/ 2147483648.0 - 0.5)"
+
+  /** 8-bit bucket signature of an embedding col: sign bits of the dots
+    * with the 8 hyperplanes. Spark dialect.
+    */
+  private def sigExprSpark(v: String): String =
+    "aggregate(transform(sequence(0, 7), j -> " +
+      s"CASE WHEN aggregate(transform(sequence(0, 63), i -> " +
+      s"CAST(element_at($v, i + 1) AS DOUBLE) * $planeSql), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0 " +
+      "THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, x) -> a + x)"
+
+  /** DuckDB equivalent of [[sigExprSpark]] (identical fold orders). */
+  private def sigExprDuck(v: String): String =
+    "list_sum(list_transform(range(8), j -> " +
+      s"CASE WHEN list_reduce(list_transform(range(64), i -> " +
+      s"CAST($v[i + 1] AS DOUBLE) * $planeSql), (acc, x) -> acc + x) > 0 " +
+      "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"
+
+  val queries: Seq[Q] = Seq(
+    // E7 baseline: exact top-10 neighbors of vec 0 across the corpus.
+    Q(
+      "q50_knn_bruteforce",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ROUND(${duckDot("e.embedding", "q.qe")}, 6) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(expr(dotExpr("embedding", "qe")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // E7 grouped top-k: top-3 neighbors for each of 5 query vectors via
+    // ranking window over the broadcast-join fan-out.
+    Q(
+      "q51_knn_per_query",
+      s"""SELECT * FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${duckDot("e.embedding", "q.embedding")}, 6) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND(${duckDot("e.embedding", "q.embedding")}, 6) DESC,
+         |               e.vec_id ASC) AS rn
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5)
+         |WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cos = round(expr(dotExpr("embedding", "qe")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cos.as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("query_id"), col("rn"))
+    },
+
+    // E7 scale path: hyperplane-LSH bucketing. Candidates = vectors whose
+    // 8-bit signature equals the query's; ranked by exact cosine. At scale
+    // this is an equi-join on the signature — no corpus-wide scan per query.
+    Q(
+      "q52_ann_lsh",
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding,
+         |    ${sigExprDuck("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qe, sig AS qsig FROM sigs WHERE vec_id = 0)
+         |SELECT s.vec_id,
+         |  ROUND(${duckDot("s.embedding", "q.qe")}, 6) AS cosine
+         |FROM sigs s, q
+         |WHERE s.sig = q.qsig AND s.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC
+         |LIMIT 5""".stripMargin) { (s, dir) =>
+      val sigs = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(sigExprSpark("embedding")).as("sig"))
+      val q = sigs.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("sig").as("qsig"))
+      sigs.join(broadcast(q), col("sig") === col("qsig"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(expr(dotExpr("embedding", "qe")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+
+    // E6/E7 MLlib scale path: MinHashLSH approx similarity self-join on
+    // token sets (Jaccard distance <= 0.2). The sketch is engine-internal,
+    // so this is a rows-only check; exact q46 is its oracle counterpart.
+    Q.rowsOnly("q53_minhash_lsh_ml") { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 14).setBinary(true)
+      val featured = tf.transform(tok.transform(docs))
+        .filter(size(col("words")) > 0)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(featured)
+      model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
+        .select(
+          col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+}

@@ -25,6 +25,8 @@ TABLES = [
 
 
 def norm_cell(v):
+    if hasattr(v, "tolist") and not isinstance(v, (int, float)):  # numpy
+        return norm_cell(v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
