@@ -14,7 +14,7 @@ object SparkEntry {
   private def all: Seq[Q] =
     Relational.queries ++ Joins.queries ++ Analytics.queries ++
       JsonTime.queries ++ Nested.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ BridgeOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
