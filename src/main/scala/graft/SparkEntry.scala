@@ -14,7 +14,8 @@ object SparkEntry {
   private def all: Seq[Q] =
     Relational.queries ++ Joins.queries ++ Analytics.queries ++
       JsonTime.queries ++ Nested.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ BridgeOps.queries
+      Dedup.queries ++ Similarity.queries ++ BridgeOps.queries ++
+      StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

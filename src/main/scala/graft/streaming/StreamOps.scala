@@ -1,0 +1,133 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.3 E12): tumbling windows
+  * with watermarks, session windows, and stateful streaming dedup, driven
+  * by replaying the events parquet as a file stream.
+  *
+  * Each query runs a real streaming query to a memory sink synchronously
+  * (`processAllAvailable`) and returns the sink table — so the driver's
+  * batch-shaped Verify harness can hash it against a DuckDB batch oracle.
+  * Watermark-0 append mode emits exactly the windows whose end has been
+  * passed by the max event time; the oracle filters identically.
+  *
+  * Scale: windowed aggregation state is per (window, key) and evicted at
+  * the watermark — bounded memory regardless of stream length; session
+  * windows merge in-state; dedup state holds one entry per key within the
+  * watermark horizon.
+  */
+object StreamOps {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Streaming source over the events parquet with the same ns→µs
+    * normalization as Tables.load (file streams need an explicit schema).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // the file-stream source requires a DIRECTORY; expose the read-only
+    // parquet file through a symlink in a scratch dir
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path))
+    val raw = spark.read.parquet(path).schema
+    val st = spark.readStream.schema(raw).parquet(streamDir.toString)
+    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else st
+  }
+
+  /** Run a streaming DF to a memory sink until drained; return the sink. */
+  private def runToMemory(
+      spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  val queries: Seq[Q] = Seq(
+    // E12: tumbling 1-hour windows + watermark, append mode. Only windows
+    // fully passed by the watermark (max event time, delay 0) are emitted;
+    // the oracle applies the same cutoff.
+    Q(
+      "q55_stream_tumbling",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        |      <= (SELECT MAX(ts) FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+      runToMemory(s, agg, "append")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // E12: session windows (6-hour inactivity gap) per user — batch-mode
+    // session_window vs DuckDB gaps-and-islands. Spark's session end is
+    // last-event + gap; the oracle reproduces that.
+    Q(
+      "q56_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL '6 hours'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '6 hours' AS session_end, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // E12: stateful streaming dedup — first occurrence per
+    // (user_id, event_type) within the watermark horizon. Projecting only
+    // the key makes the emitted set deterministic: exactly DISTINCT keys.
+    Q(
+      "q57_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val dedup = eventsStream(s, dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(s, dedup, "append")
+        .orderBy(col("user_id"), col("event_type"))
+    })
+}
