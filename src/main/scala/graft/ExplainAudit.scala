@@ -30,20 +30,16 @@ object ExplainAudit {
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      def count(p: SparkPlan, pred: String => Boolean): Int = {
-        var n = 0
-        p.foreach(node => if (pred(node.nodeName)) n += 1)
-        n
-      }
-      val txt = plan.toString
-      println(s"-- audit: broadcastJoins=${count(plan, _.contains("BroadcastHashJoin"))}" +
-        s" sortMergeJoins=${count(plan, _.contains("SortMergeJoin"))}" +
-        s" topK=${count(plan, _.contains("TakeOrderedAndProject"))}" +
-        s" wholeStageCodegen=${txt.split("WholeStageCodegen").length - 1}" +
-        s" pushedFilters=${if (txt.contains("PushedFilters: [")) "yes" else "n/a"}")
+      df.collect() // materialize so AQE finalizes the adaptive plan
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(txt)
+      def n(needle: String): Int = txt.split(java.util.regex.Pattern.quote(needle)).length - 1
+      println(s"-- audit: broadcastJoins=${n("BroadcastHashJoin")}" +
+        s" shuffleJoins=${n("SortMergeJoin") + n("ShuffledHashJoin")}" +
+        s" topK=${n("TakeOrderedAndProject")}" +
+        s" wholeStageCodegen=${n("WholeStageCodegen")}" +
+        s" pushedFilters=${if (txt.contains("PushedFilters: [") && !txt.contains("PushedFilters: []")) "yes" else "none"}")
     }
     spark.stop()
   }

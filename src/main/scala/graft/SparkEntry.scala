@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Analytics.queries ++
       JsonTime.queries ++ Nested.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ BridgeOps.queries ++
-      StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries
+      StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries ++
+      Sinks.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
