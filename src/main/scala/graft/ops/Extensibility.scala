@@ -55,5 +55,44 @@ object Extensibility {
           round(expr("array_dot(embedding, qe)"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
+    },
+
+    // §4.3 #3: the full custom-operator path — AsOfJoinNode logical plan,
+    // AsOfStrategy, AsOfJoinExec streaming merge (one co-partitioned
+    // shuffle + linear scan; no window state). Same semantics — and the
+    // same DuckDB native ASOF JOIN oracle — as the union+window encoding
+    // in q32.
+    Q(
+      "q76_asof_custom_operator",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  ROUND(c.value, 6) AS last_click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.table(s, dir, "events")
+      val dedupW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoin.asof(purch, clicks, "user_id", "ts", "value",
+          "last_click_value")
+        .select(col("event_id"), col("user_id"),
+          round(col("last_click_value"), 6).as("last_click_value"))
+        .orderBy(col("event_id"))
     })
 }
