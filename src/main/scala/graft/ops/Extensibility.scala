@@ -57,6 +57,22 @@ object Extensibility {
         .limit(10)
     },
 
+    // §4.3 stretch: mergeable HLL sketch (TypedImperativeAggregate).
+    // Deterministic (SplitMix64, seed-free) but not DuckDB-expressible
+    // (wrapping 64-bit multiplies), so rows-only; HllAggSpec pins the
+    // accuracy and merge-associativity contracts.
+    Q.rowsOnly("q77_hll_sketch") { (s, dir) =>
+      graft.functions.HllAgg.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT event_type,
+          |  graft_hll(user_id) AS approx_users,
+          |  COUNT(DISTINCT user_id) AS exact_users
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // §4.3 #3: the full custom-operator path — AsOfJoinNode logical plan,
     // AsOfStrategy, AsOfJoinExec streaming merge (one co-partitioned
     // shuffle + linear scan; no window state). Same semantics — and the
