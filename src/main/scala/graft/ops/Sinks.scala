@@ -63,6 +63,19 @@ object Sinks {
         .orderBy(col("r_regionkey"))
     },
 
+    // S2: ORC interchange (the other columnar format Spark ships native).
+    Q(
+      "q78_orc_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val out = s"$scratch/nation_orc"
+      val nation = Tables.table(s, dir, "nation")
+      nation.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // Bucketed co-located join: both sides bucketed by the join key into
     // the warehouse → SortMergeJoin with NO exchange on either side. The
     // require() asserts the shuffle-free plan; at scale this is how

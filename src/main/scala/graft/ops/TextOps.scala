@@ -105,6 +105,37 @@ object TextOps {
         .orderBy(col("lang_label"), col("lang_pred"))
     },
 
+    // E8: token 3-gram shingles → corpus-wide heavy hitters. The shingle
+    // generation is the front half of every MinHash/Jaccard pipeline
+    // (q46/q47) surfaced as its own operator; explode + count + top-k.
+    Q(
+      "q79_ngram_topk",
+      """SELECT shingle, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2] || ' ' ||
+        |         string_split(text, ' ')[i+3])) AS shingle
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |GROUP BY shingle
+        |ORDER BY n DESC, shingle ASC
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      // guard: Spark's sequence(0, n) is DESCENDING for n < 0, so short
+      // docs are filtered out instead of relying on an empty sequence
+      val shingles =
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), " +
+          "element_at(split(text, ' '), i + 2), " +
+          "element_at(split(text, ' '), i + 3)))"
+      Tables.table(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(explode(expr(shingles)).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle").asc)
+        .limit(20)
+    },
+
     // E8: document fingerprinting — polynomial rolling hash over the full
     // character stream (content-defined identity, mod 1e9+7), plus a
     // 1-function MinHash (min over per-token rolling hashes). Pure integer
