@@ -121,14 +121,18 @@ object TextOps {
         |ORDER BY n DESC, shingle ASC
         |LIMIT 20""".stripMargin) { (s, dir) =>
       // guard: Spark's sequence(0, n) is DESCENDING for n < 0, so short
-      // docs are filtered out instead of relying on an empty sequence
+      // docs are filtered out instead of relying on an empty sequence.
+      // The token array is materialized in the projection BELOW the
+      // generator (Generate doesn't collapse into its child), so the
+      // lambda's three accesses hit a bound attribute instead of
+      // re-splitting the text (measured 3.6s → ~1s at sf0.1).
       val shingles =
-        "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), " +
-          "element_at(split(text, ' '), i + 2), " +
-          "element_at(split(text, ' '), i + 3)))"
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', element_at(toks, i + 1), " +
+          "element_at(toks, i + 2), element_at(toks, i + 3)))"
       Tables.table(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= 3)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
         .select(explode(expr(shingles)).as("shingle"))
         .groupBy(col("shingle"))
         .agg(count(lit(1)).as("n"))
