@@ -16,7 +16,8 @@ object SparkEntry {
       JsonTime.queries ++ Nested.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ BridgeOps.queries ++
       StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries ++
-      Sinks.queries ++ Extras.queries ++ Ivf.queries ++ TpchMore.queries
+      Sinks.queries ++ Extras.queries ++ Ivf.queries ++ TpchMore.queries ++
+      FinalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,6 +47,14 @@ object StreamOps {
     else st
   }
 
+  /** Shared with FinalOps.q91 (custom-state streaming). */
+  private[ops] def eventsStreamFor(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+
+  private[ops] def runToMemoryFor(
+      spark: SparkSession, df: DataFrame, mode: String): DataFrame =
+    runToMemory(spark, df, mode)
+
   /** Run a streaming DF to a memory sink until drained; return the sink. */
   private def runToMemory(
       spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
