@@ -93,6 +93,58 @@ object FinalOps {
         .orderBy(col("p_partkey"))
     },
 
+    // E12: sliding windows (10-minute length, 5-minute slide) — each event
+    // lands in two windows. Oracle enumerates both window starts per
+    // event; epoch alignments agree (origins differ by whole days).
+    Q(
+      "q92_sliding_window",
+      """SELECT ws AS window_start, COUNT(*) AS n
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts)
+        |                   - INTERVAL '5 minutes']) AS ws
+        |  FROM events WHERE event_type = 'error')
+        |GROUP BY ws
+        |ORDER BY ws""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+        .orderBy(col("window_start"))
+    },
+
+    // E1: distribution window functions — percent_rank / cume_dist /
+    // nth_value over a total order.
+    Q(
+      "q93_window_distribution",
+      """SELECT c_custkey,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |  NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_richest
+        |FROM customer
+        |WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.table(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("c_custkey"), 2).over(wFull).as("second_richest"))
+        .orderBy(col("c_custkey"))
+    },
+
     // E12/E13: arbitrary stateful streaming — mapGroupsWithState keeping a
     // per-user purchase counter. One input batch → each key emits its
     // final state once, so the batch count oracle matches exactly. State
