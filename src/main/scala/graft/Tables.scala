@@ -19,12 +19,17 @@ object Tables {
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    // timestamp. Read nanos as long and floor-divide to microseconds —
-    // exactly the ns→µs truncation DuckDB applies, so the oracle agrees.
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    readNormalized(spark, s"$dir/$name.parquet")
+
+  /** Read a parquet path, tolerating TIMESTAMP(NANOS) columns Spark cannot
+    * represent: `ts` nanos are read as long and floor-divided to
+    * microseconds — exactly the ns→µs truncation DuckDB applies, so the
+    * oracle agrees.
+    */
+  def readNormalized(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(path)
     df.schema.fields.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         // integer div, not double div: 2024 epoch-nanos exceed 2^53

@@ -50,7 +50,8 @@ object Cli {
       try {
         dataPath match {
           case Some(p) =>
-            try spark.read.parquet(p).createOrReplaceTempView(table)
+            try graft.Tables.readNormalized(spark, p)
+              .createOrReplaceTempView(table)
             catch {
               case e: Throwable =>
                 System.err.println(s"cannot open $p: ${e.getMessage}")
