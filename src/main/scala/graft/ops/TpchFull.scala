@@ -60,7 +60,14 @@ object TpchFull {
       val reg = Tables.table(s, dir, "region").filter(col("r_name") === "EUROPE")
       val part = Tables.table(s, dir, "part")
         .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
-      val ps = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      // The per-part min is only consumed for parts passing the filter, so
+      // semi-join the bridge rows down to those parts BEFORE the
+      // (partkey, suppkey) shuffle — at 100 TB this turns a full-lineitem
+      // aggregation into one over the selected part family.
+      val ps = l
+        .join(broadcast(part.select(col("p_partkey").as("keep_key"))),
+          col("l_partkey") === col("keep_key"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
       val eps = ps
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -386,23 +393,44 @@ object TpchFull {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT s.s_name, COUNT(*) AS numwait
-          |FROM supplier s
-          |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-          |JOIN orders o ON o.o_orderkey = l1.l_orderkey
-          |WHERE o.o_orderstatus = 'F'
-          |  AND EXISTS (SELECT 1 FROM lineitem l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > l1.l_shipdate)
-          |GROUP BY s.s_name
-          |ORDER BY numwait DESC, s.s_name
-          |LIMIT 20""".stripMargin)
+      // Hand-decorrelated: the EXISTS/NOT EXISTS pair over lineitem is
+      // equivalent to "this supplier's row ships at-or-after every OTHER
+      // supplier's max shipdate, in a multi-supplier order". One
+      // (orderkey, suppkey) aggregate + windows over orderkey replace two
+      // lineitem self-joins — a single shuffle partitioning (orderkey)
+      // reused by agg, window, and the join back to row-level lineitem.
+      val fOrders = Tables.table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      // One explicit orderkey exchange feeds the (orderkey, suppkey) agg
+      // (subset clustering), the orderkey windows, and the row-level join
+      // back — EnsureRequirements inserts nothing further.
+      val lf = Tables.table(s, dir, "lineitem")
+        .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
+      val ps = lf.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val withM1 = ps
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("m1", max(col("smax")).over(w))
+      val otherMax = withM1
+        .withColumn("cnt_at_m1",
+          sum(when(col("smax") === col("m1"), 1).otherwise(0)).over(w))
+        .withColumn("m2", max(when(col("smax") < col("m1"), col("smax"))).over(w))
+        .filter(col("nsupp") > 1)
+        .select(col("l_orderkey").as("po_key"), col("l_suppkey").as("ps_key"),
+          when(col("smax") < col("m1") || col("cnt_at_m1") > 1, col("m1"))
+            .otherwise(col("m2")).as("other_max"))
+      val sup = Tables.table(s, dir, "supplier")
+      lf.join(otherMax, col("l_orderkey") === col("po_key") &&
+          col("l_suppkey") === col("ps_key"))
+        .filter(col("l_shipdate") >= col("other_max"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     },
 
     // Q22 shape: rich-but-inactive customers per nation bucket — scalar
