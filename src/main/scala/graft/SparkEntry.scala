@@ -17,7 +17,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ BridgeOps.queries ++
       StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries ++
       Sinks.queries ++ Extras.queries ++ Ivf.queries ++ TpchMore.queries ++
-      FinalOps.queries ++ TpchFull.queries ++ FrontierOps.queries
+      FinalOps.queries ++ TpchFull.queries ++ FrontierOps.queries ++
+      DepthOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
