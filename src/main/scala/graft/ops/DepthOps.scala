@@ -193,24 +193,7 @@ object DepthOps {
       import s.implicits._
       val comp = pairs.as[(Long, Long)]
         .repartition(1)
-        .mapPartitions { it =>
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x // path compression
-            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          it.foreach { case (x, y) =>
-            parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
-            val (rx, ry) = (find(x), find(y))
-            if (rx != ry) { // min id becomes the root
-              if (rx < ry) parent(ry) = rx else parent(rx) = ry
-            }
-          }
-          parent.keysIterator.map(k => (k, find(k))).toSeq.sortBy(_._1).iterator
-        }
+        .mapPartitions(UnionFind.components)
         .toDF("doc_id", "component")
       comp.orderBy(col("doc_id"))
     })
