@@ -38,7 +38,8 @@ object ExplainAudit {
       println(s"-- audit: broadcastJoins=${n("BroadcastHashJoin")}" +
         s" shuffleJoins=${n("SortMergeJoin") + n("ShuffledHashJoin")}" +
         s" topK=${n("TakeOrderedAndProject")}" +
-        s" wholeStageCodegen=${n("WholeStageCodegen")}" +
+        s" wholeStageCodegen=${
+          "codegen id : (\\d+)".r.findAllMatchIn(txt).map(_.group(1)).toSet.size}" +
         s" pushedFilters=${if (txt.contains("PushedFilters: [") && !txt.contains("PushedFilters: []")) "yes" else "none"}")
     }
     spark.stop()

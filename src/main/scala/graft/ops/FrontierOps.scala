@@ -66,11 +66,17 @@ object FrontierOps {
          |ORDER BY s.s_name""".stripMargin) { (s, dir) =>
       val sup = Tables.table(s, dir, "supplier")
         .filter(col("s_nationkey") === 2)
-      val bf = sup.stat.bloomFilter(col("s_suppkey"), 10000L, 0.01)
-      val bc = s.sparkContext.broadcast(bf)
-      val mightMatch = udf((k: Long) => bc.value.mightContain(k))
+      // Spark's stat.bloomFilter over an EMPTY frame returns a filter with
+      // a null bit buffer (mightContain NPEs) — degrade to filter-nothing.
+      val prefilter =
+        if (sup.isEmpty) lit(false)
+        else {
+          val bf = sup.stat.bloomFilter(col("s_suppkey"), 10000L, 0.01)
+          val bc = s.sparkContext.broadcast(bf)
+          udf((k: Long) => bc.value.mightContain(k)).apply(col("l_suppkey"))
+        }
       Tables.table(s, dir, "lineitem")
-        .filter(mightMatch(col("l_suppkey")))
+        .filter(prefilter)
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),

@@ -245,9 +245,13 @@ object TpchFull {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
       val c = Tables.table(s, dir, "customer")
       val o = Tables.table(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-        .groupBy(c("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+      // Aggregate below the join: per-customer counts reduce orders
+      // map-side BEFORE the shuffle, and the outer join then moves one
+      // row per customer instead of one per order.
+      val cnt = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(cnt, c("c_custkey") === cnt("o_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
