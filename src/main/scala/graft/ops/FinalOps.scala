@@ -157,6 +157,7 @@ object FinalOps {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      StreamOps.withStateParts(s, 8) {
       val counted = StreamOps.eventsStreamFor(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as[Long])
@@ -170,5 +171,6 @@ object FinalOps {
         .toDF("user_id", "n_purchases")
       StreamOps.runToMemoryFor(s, counted, "update")
         .orderBy(col("user_id"))
+      }
     })
 }

@@ -94,6 +94,7 @@ object FrontierOps {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY e.event_type, c.c_mktsegment
         |ORDER BY e.event_type, c.c_mktsegment""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
       val cust = Tables.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = StreamOps.eventsStreamFor(s, dir)
@@ -104,6 +105,7 @@ object FrontierOps {
             .as("total_value"))
       StreamOps.runToMemoryFor(s, enriched, "complete")
         .orderBy(col("event_type"), col("c_mktsegment"))
+      }
     },
 
     // Range-clustered write: repartitionByRange + sortWithinPartitions

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second streaming/observability batch: stream-stream interval join
+  * (click→purchase attribution), observed-metrics (the production
+  * monitoring surface), and session windows running in true streaming
+  * mode (q56 demonstrated the batch form).
+  */
+object StreamMore {
+  import Det._
+
+  val queries: Seq[Q] = Seq(
+    // E12: stream-stream INNER join with an event-time range condition —
+    // the attribution shape. Each side is keyed by user with a time-bound
+    // band; inner-join matches emit as soon as both sides arrive, and the
+    // watermark bounds how long unmatched click state is retained (at
+    // 100 TB/day the retention horizon IS the state size).
+    Q(
+      "q115_stream_stream_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.event_id, p.event_id, c.user_id
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
+      val clicks = StreamOps.eventsStreamFor(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = StreamOps.eventsStreamFor(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("value"))
+      // the GROUP BY in the oracle is only a deterministic-sum guard for
+      // the (click, purchase) pair — pairs are already unique, so the
+      // streamed rows equal the grouped rows
+      StreamOps.runToMemoryFor(s, joined, "append")
+        .groupBy(col("click_id"), col("purchase_id"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("purchase_value"))
+        .orderBy(col("click_id"), col("purchase_id"))
+      }
+    },
+
+    // Observed metrics (production observability): Observation attaches
+    // aggregates to a flowing query at zero extra passes — the metrics
+    // ride along the action. The gate returns them as a 1-row frame so
+    // the oracle can check them exactly.
+    Q(
+      "q116_observed_metrics",
+      """SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS n_negative,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val obs = Observation()
+      val observed = Tables.table(s, dir, "orders").observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < 0, 1).otherwise(0)).as("n_negative"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"),
+        max(col("o_totalprice")).as("max_price"))
+      observed.write.format("noop").mode("overwrite").save() // the action
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_negative").asInstanceOf[Long],
+        m("total").asInstanceOf[Double],
+        m("max_price").asInstanceOf[Double]))
+        .toDF("n_rows", "n_negative", "total", "max_price")
+    },
+
+    // E12: session windows in TRUE streaming mode — state merges sessions
+    // as events arrive and evicts them once the watermark passes
+    // last-event + gap. Only closed sessions emit in append mode; the
+    // oracle applies the same cutoff against max(ts).
+    Q(
+      "q117_stream_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL '6 hours'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '6 hours' AS session_end, COUNT(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |HAVING MAX(ts) + INTERVAL '6 hours'
+        |       <= (SELECT MAX(ts) FROM events WHERE user_id < 20)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
+      val sessions = StreamOps.eventsStreamFor(s, dir)
+        .filter(col("user_id") < 20)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+      StreamOps.runToMemoryFor(s, sessions, "append")
+        .orderBy(col("user_id"), col("session_start"))
+      }
+    })
+}

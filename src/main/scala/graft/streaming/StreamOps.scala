@@ -55,6 +55,20 @@ object StreamOps {
       spark: SparkSession, df: DataFrame, mode: String): DataFrame =
     runToMemory(spark, df, mode)
 
+  /** Scope spark.sql.shuffle.partitions to the streaming state volume
+    * for the duration of `body` (stream construction AND start — the
+    * partitioning binds when the streaming frame is built, not at
+    * start()). Every state store pays a per-batch commit per partition,
+    * so sizing it to the keyed-state volume instead of the batch session
+    * default is the state-store sizing knob at cluster scale too.
+    */
+  private[ops] def withStateParts[T](
+      spark: SparkSession, n: Int)(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Run a streaming DF to a memory sink until drained; return the sink. */
   private def runToMemory(
       spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
@@ -79,6 +93,7 @@ object StreamOps {
         |      <= (SELECT MAX(ts) FROM events)
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      withStateParts(s, 8) {
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -89,6 +104,7 @@ object StreamOps {
           col("n"), col("total_value"))
       runToMemory(s, agg, "append")
         .orderBy(col("window_start"), col("event_type"))
+      }
     },
 
     // E12: session windows (6-hour inactivity gap) per user — batch-mode
@@ -131,11 +147,13 @@ object StreamOps {
       "q57_stream_dedup",
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      withStateParts(s, 8) {
       val dedup = eventsStream(s, dir)
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
       runToMemory(s, dedup, "append")
         .orderBy(col("user_id"), col("event_type"))
+      }
     })
 }
