@@ -472,5 +472,94 @@ object TpchFull {
         .agg(count(lit(1)).as("numcust"),
           moneySum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("cntrycode"))
+    },
+
+    // Q4 shape: order-priority census over orders that had at least one
+    // late-shipped line (EXISTS → left-semi join on the order key).
+    Q(
+      "q118_tpch_q4_priority",
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q6 shape: the classic single-scan band-predicate revenue forecast —
+    // everything pushes into the parquet scan; the agg is one exact sum.
+    Q(
+      "q119_tpch_q6_forecast",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue_delta,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("revenue_delta"), count(lit(1)).as("n"))
+    },
+
+    // Q9 shape: product-line profit by supplier nation and year. The
+    // schema has no partsupp.ps_supplycost, so cost is proxied as 60% of
+    // list price — the shape (5-way join + derived measure + two-level
+    // group) is what matters.
+    Q(
+      "q120_tpch_q9_profit",
+      """SELECT n.n_name AS nation,
+        |  EXTRACT(year FROM o.o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |           - CAST(l.l_quantity AS DECIMAL(18,2))
+        |             * (CAST(p.p_retailprice AS DECIMAL(18,2))
+        |                * CAST(0.6 AS DECIMAL(3,1)))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s2.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%bolt%'
+        |GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin) { (s, dir) =>
+      val l = Tables.table(s, dir, "lineitem")
+      val p = Tables.table(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      val sup = Tables.table(s, dir, "supplier")
+      val n = Tables.table(s, dir, "nation")
+      val o = Tables.table(s, dir, "orders")
+      val profit = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+        col("l_quantity").cast("decimal(18,2)") *
+          (col("p_retailprice").cast("decimal(18,2)") *
+            lit(0.6).cast("decimal(3,1)"))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n), n("n_nationkey") === sup("s_nationkey"))
+        .join(o, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year"))
     })
 }
