@@ -43,6 +43,8 @@ object FuzzyResolveColumns extends Rule[LogicalPlan] {
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => FuzzyResolveColumns)
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+  }
 }
