@@ -125,5 +125,41 @@ object StreamMore {
       StreamOps.runToMemoryFor(s, sessions, "append")
         .orderBy(col("user_id"), col("session_start"))
       }
+    },
+
+    // foreachBatch + dynamic partition overwrite: the production file
+    // sink. Each microbatch rewrites exactly the date partitions it
+    // touched — replays are idempotent (same window → same partition →
+    // same bytes), which is how exactly-once lands on object storage
+    // without a transactional table format.
+    Q(
+      "q123_foreachbatch_sink",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_febatch").toString
+        val agg = StreamOps.eventsStreamFor(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"))
+        val q = agg.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("day")
+              .parquet(out)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .select(col("day").cast("string"), col("event_type"), col("n"))
+          .orderBy(col("day"), col("event_type"))
+      }
     })
 }
