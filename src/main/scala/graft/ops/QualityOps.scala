@@ -91,5 +91,26 @@ object QualityOps {
       s.read.option("mergeSchema", "true").parquet(scratch)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))
+    },
+
+    // Modern SQL ergonomics: GROUP BY ALL (implicit grouping keys) and
+    // IDENTIFIER() (safe late-bound table/column names — the injection-
+    // proof version of the reference's qident string quoting, P5/S15).
+    Q(
+      "q124_group_by_all_identifier",
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS total_chars
+        |FROM documents
+        |GROUP BY ALL
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang, source, COUNT(*) AS n,
+          |  CAST(SUM(CAST(IDENTIFIER(:metric) AS DECIMAL(18,0))) AS DOUBLE)
+          |    AS total_chars
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY ALL
+          |ORDER BY lang, source""".stripMargin,
+        Map("tbl" -> "documents", "metric" -> "n_chars"))
     })
 }
