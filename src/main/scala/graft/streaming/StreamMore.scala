@@ -161,5 +161,39 @@ object StreamMore {
           .select(col("day").cast("string"), col("event_type"), col("n"))
           .orderBy(col("day"), col("event_type"))
       }
+    },
+
+    // RocksDB state store: same windowed aggregation as the HDFS-backed
+    // default, but state lives off-heap and spills to local SSD — the
+    // provider for state that exceeds executor memory (billions of keys
+    // at 100 TB/day). Results are provider-independent; only the state
+    // backend changes, which is exactly what this gate pins down.
+    Q(
+      "q125_rocksdb_state_store",
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id < 30
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val agg = StreamOps.eventsStreamFor(s, dir)
+            .filter(col("user_id") < 30)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("total_value"))
+          StreamOps.runToMemoryFor(s, agg, "complete")
+            .orderBy(col("user_id"), col("event_type"))
+        } finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
     })
 }
