@@ -50,9 +50,23 @@ object Cli {
       try {
         dataPath match {
           case Some(p) =>
-            try graft.Tables.readNormalized(spark, p)
-              .createOrReplaceTempView(table)
-            catch {
+            // --data may be one parquet file (registered under --table) or
+            // a directory of <name>.parquet tables (each registered under
+            // its own name, so sql/ask can also join the siblings)
+            try {
+              val f = new java.io.File(p)
+              if (f.isDirectory && new java.io.File(f, s"$table.parquet").exists()) {
+                f.listFiles().toSeq
+                  .filter(_.getName.endsWith(".parquet"))
+                  .foreach { t =>
+                    graft.Tables.readNormalized(spark, t.getPath)
+                      .createOrReplaceTempView(t.getName.stripSuffix(".parquet"))
+                  }
+              } else {
+                graft.Tables.readNormalized(spark, p)
+                  .createOrReplaceTempView(table)
+              }
+            } catch {
               case e: Throwable =>
                 System.err.println(s"cannot open $p: ${e.getMessage}")
                 sys.exit(Runner.ExitCodes.OpenError)
