@@ -81,6 +81,7 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      graft.functions.TokenJaccard.register(s)
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tk"))
@@ -88,8 +89,9 @@ object Dedup {
         col("n_chars").as("nc_a"), col("tk").as("tk_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
         col("n_chars").as("nc_b"), col("tk").as("tk_b"))
-      val jac = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
-        size(array_distinct(concat(col("tk_a"), col("tk_b"))))
+      // codegen single-pass jaccard — evaluated once per candidate pair,
+      // no intersect/concat/distinct array materialization
+      val jac = expr("token_jaccard(tk_a, tk_b)")
       a.join(b, Seq("lang"))
         .filter(col("doc_a") < col("doc_b") &&
           abs(col("nc_a") - col("nc_b")) <= 5)

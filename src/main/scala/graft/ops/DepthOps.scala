@@ -166,6 +166,7 @@ object DepthOps {
         |SELECT a AS doc_id, MIN(b) AS component
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.TokenJaccard.register(s)
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tk"))
@@ -173,8 +174,7 @@ object DepthOps {
         col("n_chars").as("nc_a"), col("tk").as("tk_a"))
       val b = docs.select(col("doc_id").as("b"), col("lang"),
         col("n_chars").as("nc_b"), col("tk").as("tk_b"))
-      val jac = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
-        size(array_distinct(concat(col("tk_a"), col("tk_b"))))
+      val jac = expr("token_jaccard(tk_a, tk_b)")
       val pairs = a.join(b, Seq("lang"))
         .filter(col("a") < col("b") && abs(col("nc_a") - col("nc_b")) <= 5)
         .filter(jac >= 0.8)
