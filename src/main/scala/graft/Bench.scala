@@ -30,19 +30,34 @@ object Bench {
     }
     // two timed passes, report per-query MIN: single-pass numbers swing
     // 2-4× under background load; the min is the steady-state figure a
-    // dedicated cluster would see
-    def timeOnce(name: String): Double = {
+    // dedicated cluster would see. A query that throws reports null (and
+    // is excluded from the total) — a crash must not masquerade as a fast
+    // passing run.
+    def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+      }
     }
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), timeOnce(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = names.map { n =>
+      val times = Seq(pass1(n), timeOnce(n)).flatten
+      n -> (if (times.isEmpty) None else Some(times.min))
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, None) => n }
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // compact duplicate LAST so a bounded tail capture always parses a
+    // total even when the per-query map exceeds the capture window
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

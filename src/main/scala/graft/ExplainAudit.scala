@@ -26,7 +26,8 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q03_filter_predicates",
         "q04_sort_limit_offset", "q10_join_inner_broadcast",
         "q15_join_fact_fact", "q16_regional_volume", "q26_topk_heavy_hitters",
-        "q28_json_filter", "q50_knn_bruteforce", "q59_custom_expr_dot",
+        "q28_json_filter", "q46_ngram_jaccard", "q50_knn_bruteforce",
+        "q53_minhash_lsh_ml", "q59_custom_expr_dot",
         "q94_tpch_q2_mincost", "q99_tpch_q13_custdist",
         "q104_tpch_q21_last_shipper", "q106_cms_heavy_hitters",
         "q113_tfidf_topterms", "q120_tpch_q9_profit")

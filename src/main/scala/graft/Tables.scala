@@ -16,8 +16,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // session identity -> currently-registered dir. Temp views are
+  // session-GLOBAL, so a plain (session, dir) seen-set would skip
+  // re-registration after another dir re-pointed the views and silently
+  // serve the wrong data; tracking the current dir re-registers on change.
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     readNormalized(spark, s"$dir/$name.parquet")
@@ -39,16 +43,17 @@ object Tables {
     }
   }
 
-  /** Register all testdata tables as temp views (idempotent per session+dir).
-    * Safe if a different dir is requested later: views are re-pointed.
+  /** Register all testdata tables as temp views (idempotent per session
+    * while the dir is unchanged; re-points every view when a different dir
+    * is requested).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = (System.identityHashCode(spark).toString, dir)
-    if (!registered.contains(key)) {
+    val key = System.identityHashCode(spark).toString
+    if (registered.get(key) != dir) {
       names.foreach { n =>
         load(spark, dir, n).createOrReplaceTempView(n)
       }
-      registered.add(key) // only after full success: no half-registered state
+      registered.put(key, dir) // only after full success
     }
   }
 

@@ -2,12 +2,13 @@ package graft.exec
 
 import org.apache.spark.sql.SparkSession
 import graft.meta.{DataDictionary, SchemaIntrospect}
-import graft.nl.MockLlmClient
+import graft.nl.{LlmClient, MockLlmClient}
 
 /** CLI entry points (SURVEY.md §2.1 P20): one main with subcommands
   * replacing the reference's three scripts —
   *
   *   ask      --data <dir-or-parquet> --table T --question Q
+  *            [--llm gemini|mistral] [--model M]
   *            [--schema-meta dict.json] [--max-rows N]   (query_llm.py)
   *   sql      --data ... --table T --query SQL [--max-rows N] (query_db.py)
   *   describe --data ... --table T                     (describe_table.py)
@@ -15,8 +16,10 @@ import graft.nl.MockLlmClient
   *
   * `--data` points at a parquet file/directory; the table is registered as
   * a temp view, mirroring "open database read-only, address one table".
-  * Without a configured network LLM client, `ask` uses the offline mock
-  * (the injection point for a real client is Bridge.ask).
+  * `ask` uses a real HTTP client when the selected provider's API key env
+  * var (GEMINI_API_KEY / MISTRAL_API_KEY) is set — same provider/model/
+  * default scheme as the reference (query_llm.py:427-428, 485-486) — and
+  * falls back to the offline mock otherwise.
   */
 object Cli {
 
@@ -55,13 +58,18 @@ object Cli {
             // its own name, so sql/ask can also join the siblings)
             try {
               val f = new java.io.File(p)
-              if (f.isDirectory && new java.io.File(f, s"$table.parquet").exists()) {
-                f.listFiles().toSeq
-                  .filter(_.getName.endsWith(".parquet"))
-                  .foreach { t =>
-                    graft.Tables.readNormalized(spark, t.getPath)
-                      .createOrReplaceTempView(t.getName.stripSuffix(".parquet"))
-                  }
+              // a directory with any per-table *.parquet entries is always
+              // registered file-by-file — reading a heterogeneous dir as
+              // ONE table would schema-merge garbage, and a typo'd --table
+              // should surface as MissingTable, not a merge error
+              val perTable = Option(f.listFiles()).map(_.toSeq)
+                .getOrElse(Seq.empty)
+                .filter(_.getName.endsWith(".parquet"))
+              if (f.isDirectory && perTable.nonEmpty) {
+                perTable.foreach { t =>
+                  graft.Tables.readNormalized(spark, t.getPath)
+                    .createOrReplaceTempView(t.getName.stripSuffix(".parquet"))
+                }
               } else {
                 graft.Tables.readNormalized(spark, p)
                   .createOrReplaceTempView(table)
@@ -89,10 +97,20 @@ object Cli {
             Bridge.generateSkeleton(spark, table,
               opts.getOrElse("schema-out", s"$table.schema.json"))
           case "ask" =>
+            if (!SchemaIntrospect.tableExists(spark, table)) {
+              System.err.println(s"table not found: $table")
+              Runner.ExitCodes.MissingTable
+            } else {
             val dict = opts.get("schema-meta").map(DataDictionary.load)
               .getOrElse(DataDictionary(table = table))
-            val llm = new MockLlmClient(fallback =
-              s"SELECT * FROM $table LIMIT 10")
+            val llm = LlmClient.fromEnv(
+              opts.getOrElse("llm", "gemini"), opts.get("model")) match {
+              case Right(real) => real
+              case Left(reason) =>
+                System.err.println(s"[ask] $reason — using offline mock")
+                new MockLlmClient(fallback =
+                  s"SELECT * FROM $table LIMIT 10")
+            }
             Bridge.ask(spark, table, opts.getOrElse("question", ""),
               dict, llm, maxRows = maxRows) match {
               case Right(ans) =>
@@ -100,6 +118,7 @@ object Cli {
                 println(Runner.format(ans.result))
                 0
               case Left(ec) => ec
+            }
             }
           case other =>
             System.err.println(s"unknown command: $other")

@@ -27,11 +27,13 @@ object AllowedValues {
 
 /** Per-column literal canonicalization: optional case rule
   * ("lower"/"upper") and literal value remapping; a mapping to null means
-  * the literal becomes SQL NULL (query_llm.py:334-341).
+  * the literal becomes SQL NULL (query_llm.py:334-341). `mapValues` is an
+  * ordered Seq, not a Map — the reference applies entries in dictionary
+  * JSON order, per column, and collisions resolve by application order.
   */
 case class Canonicalization(
     caseRule: Option[String] = None,
-    mapValues: Map[String, Option[String]] = Map.empty)
+    mapValues: Seq[(String, Option[String])] = Nil)
 
 case class ColumnMeta(
     name: String,
@@ -87,11 +89,13 @@ object DataDictionary {
     val caseRule = Option(n.get("case")).filter(!_.isNull).map(_.asText)
       .filter(c => c == "lower" || c == "upper")
     val mv = Option(n.get("map_values")).filter(_.isObject).map { m =>
+      // Jackson preserves JSON field order — keep it (reference applies
+      // map_values in dict order, query_llm.py:334)
       m.fields().asScala.map { e =>
         val v = e.getValue
         e.getKey -> (if (v.isNull) None else Some(v.asText))
-      }.toMap
-    }.getOrElse(Map.empty[String, Option[String]])
+      }.toSeq
+    }.getOrElse(Seq.empty[(String, Option[String])])
     Canonicalization(caseRule, mv)
   }
 

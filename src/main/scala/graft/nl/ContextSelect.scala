@@ -32,7 +32,9 @@ object ContextSelect {
       topK: Int = 12): Context = {
     val ranked = dict.columns
       .map(c => (c, score(question, c)))
-      .sortBy { case (c, s) => (-s, c.name) } // stable: name tiebreak
+      // stable sort on score ONLY: equal-score columns keep dictionary
+      // order, matching the reference's sorted(key=score) (query_llm.py:95)
+      .sortBy { case (_, s) => -s }
       .take(topK)
       .map(_._1)
     Context(ranked, dict.rules)

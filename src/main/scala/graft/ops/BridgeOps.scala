@@ -28,7 +28,7 @@ object BridgeOps {
           "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
         canonicalization = Canonicalization(
           caseRule = Some("upper"),
-          mapValues = Map("bldg" -> Some("BUILDING"))))))
+          mapValues = Seq("bldg" -> Some("BUILDING"))))))
 
   /** The canned "model output" with the reference's classic mistakes. */
   val rawLlmOutput: String =

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -23,6 +24,44 @@ object Dedup {
     "transform(array_distinct(split(text, ' ')), " +
       "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a * 131 + b) % 1000000007))"
+
+  /** Banded candidate self-join shared by the near-dup family (q46
+    * Jaccard, q48 SimHash, q114 components): the ±5-char length tolerance
+    * is part of the JOIN KEY, not a residual filter — each doc probes its
+    * own 5-char length band and the next one, and builds on its own band,
+    * so candidate buckets are (lang, band). A lang-only key is quadratic
+    * within the dominant language at 100 TB; the band key bounds every
+    * bucket by construction. |Δn_chars| <= 5 with width-5 bands implies
+    * band distance <= 1, so probing {band, band+1} against build band is
+    * exhaustive (the higher-band doc of a cross-band pair matches when the
+    * LOWER doc is the probe). Emits each qualifying unordered pair exactly
+    * once, ordered doc_a < doc_b, with the payload column re-attached as
+    * <payload>_a / <payload>_b and the exact |Δn_chars| <= 5 residual
+    * applied.
+    *
+    * Expects columns: doc_id, lang, n_chars, <payload>.
+    */
+  private[ops] def bandedPairs(docs: DataFrame, payload: String): DataFrame = {
+    val base = docs.withColumn("bkt", floor(col("n_chars") / 5))
+    val side = struct(col("doc_id"), col("n_chars"), col(payload))
+    val probe = base.select(col("lang"), side.as("pa"),
+      col("bkt").as("bkt_p"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("key"))
+    val build = base.select(col("lang"), side.as("pb"), col("bkt").as("key"))
+    val aFirst = col("pa.doc_id") < col("pb.doc_id")
+    probe.join(build, Seq("lang", "key"))
+      // same band matches twice (both orientations) → keep one by id
+      // order; next-band matches are unique already
+      .filter((col("key") === col("bkt_p") && aFirst) ||
+        col("key") === col("bkt_p") + 1)
+      .select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("sa"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("sb"))
+      .filter(abs(col("sa.n_chars") - col("sb.n_chars")) <= 5)
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"),
+        col("sa." + payload).as(payload + "_a"),
+        col("sb." + payload).as(payload + "_b"))
+  }
 
   /** DuckDB-side equivalent of [[sparkTokenHashes]]. */
   private val duckTokenHashes =
@@ -64,8 +103,9 @@ object Dedup {
     },
 
     // E6 near-dup by token-set Jaccard with (lang, length-band) blocking:
-    // the pair join is equi on lang with a ±5-char length residual, so at
-    // scale it shuffles once on the blocking key instead of crossing n².
+    // the pair join is equi on (lang, floor(n_chars/5)) via bandedPairs,
+    // so at scale it shuffles once on the composite key instead of
+    // crossing n² within a language.
     Q(
       "q46_ngram_jaccard",
       """WITH toks AS (
@@ -85,16 +125,10 @@ object Dedup {
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tk"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-        col("n_chars").as("nc_a"), col("tk").as("tk_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-        col("n_chars").as("nc_b"), col("tk").as("tk_b"))
       // codegen single-pass jaccard — evaluated once per candidate pair,
       // no intersect/concat/distinct array materialization
       val jac = expr("token_jaccard(tk_a, tk_b)")
-      a.join(b, Seq("lang"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("nc_a") - col("nc_b")) <= 5)
+      bandedPairs(docs, "tk")
         .filter(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -108,9 +142,9 @@ object Dedup {
       s"""WITH th AS (
          |  SELECT doc_id, $duckTokenHashes AS hashes FROM documents)
          |SELECT doc_id,
-         |  list_transform(range(8), i ->
+         |  array_to_string(list_transform(range(8), i ->
          |    list_min(list_transform(hashes,
-         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))) AS minhash,
+         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS minhash,
          |  array_to_string(list_transform(range(4), i ->
          |    list_min(list_transform(hashes,
          |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS band0,
@@ -123,10 +157,13 @@ object Dedup {
         s"array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % 1000000007)))"
       Tables.table(s, dir, "documents")
         .withColumn("th", expr(sparkTokenHashes))
-        .withColumn("minhash", expr(sig))
-        .select(col("doc_id"), col("minhash"),
-          array_join(slice(col("minhash"), 1, 4), "-").as("band0"),
-          array_join(slice(col("minhash"), 5, 4), "-").as("band1"))
+        .withColumn("mh", expr(sig))
+        // gate projection stringifies the signature (the driver's pandas
+        // compare can't sort raw array cells); band keys stay first-class
+        .select(col("doc_id"),
+          array_join(col("mh"), "-").as("minhash"),
+          array_join(slice(col("mh"), 1, 4), "-").as("band0"),
+          array_join(slice(col("mh"), 5, 4), "-").as("band1"))
         .orderBy(col("doc_id"))
     },
 
@@ -169,15 +206,10 @@ object Dedup {
         .groupBy(col("doc_id"), col("lang"), col("n_chars"))
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          simhash.as("simhash"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
-        col("n_chars").as("nc_a"), col("simhash").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
-        col("n_chars").as("nc_b"), col("simhash").as("sh_b"))
+          simhash.as("sh"))
       val hamming = expr("bit_count(sh_a ^ sh_b)")
-      a.join(b, Seq("lang"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("nc_a") - col("nc_b")) <= 5 && hamming <= 6)
+      bandedPairs(sh, "sh")
+        .filter(hamming <= 6)
         .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },

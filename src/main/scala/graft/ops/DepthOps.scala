@@ -170,31 +170,17 @@ object DepthOps {
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tk"))
-      val a = docs.select(col("doc_id").as("a"), col("lang"),
-        col("n_chars").as("nc_a"), col("tk").as("tk_a"))
-      val b = docs.select(col("doc_id").as("b"), col("lang"),
-        col("n_chars").as("nc_b"), col("tk").as("tk_b"))
       val jac = expr("token_jaccard(tk_a, tk_b)")
-      val pairs = a.join(b, Seq("lang"))
-        .filter(col("a") < col("b") && abs(col("nc_a") - col("nc_b")) <= 5)
+      val pairs = Dedup.bandedPairs(docs, "tk")
         .filter(jac >= 0.8)
-        .select(col("a"), col("b"))
-      // Edge generation is the distributed, expensive part (all-pairs
-      // within blocking keys). The edge set it emits is orders of
-      // magnitude smaller than the corpus — here ~50k pairs from 5k docs —
-      // so the component computation runs as single-task union-find behind
-      // a repartition(1) shuffle boundary (upstream stays parallel). This
-      // is the standard hybrid in dedup pipelines; an edge set too big for
-      // one task would switch to iterative star-contraction, in which case
-      // every round must BOTH localCheckpoint (truncate the logical plan)
-      // AND rebuild the frame from the checkpointed RDD (reset join
-      // statistics — Catalyst's size estimates are BigInt products that
-      // otherwise compound exponentially across checkpointed iterations).
-      import s.implicits._
-      val comp = pairs.as[(Long, Long)]
-        .repartition(1)
-        .mapPartitions(UnionFind.components)
-        .toDF("doc_id", "component")
-      comp.orderBy(col("doc_id"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // Edge generation is the distributed, expensive part (banded
+      // all-pairs). The component step goes through Components.label: edge
+      // sets that fit one task (here ~50k pairs from 5k docs) run
+      // single-task union-find behind a repartition(1) boundary; bigger
+      // edge sets automatically switch to the distributed min-label
+      // contraction loop (with the localCheckpoint + stats-reset pattern
+      // per round). ComponentsSpec pins both paths to the same labeling.
+      Components.label(s, pairs).orderBy(col("doc_id"))
     })
 }

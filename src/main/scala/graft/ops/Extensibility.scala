@@ -58,16 +58,27 @@ object Extensibility {
     },
 
     // §4.3 stretch: mergeable HLL sketch (TypedImperativeAggregate).
-    // Deterministic (SplitMix64, seed-free) but not DuckDB-expressible
-    // (wrapping 64-bit multiplies), so rows-only; HllAggSpec pins the
-    // accuracy and merge-associativity contracts.
-    Q.rowsOnly("q77_hll_sketch") { (s, dir) =>
+    // Deterministic (SplitMix64, seed-free) but the sketch itself is not
+    // DuckDB-expressible (wrapping 64-bit multiplies), so the gate checks a
+    // property the oracle CAN recompute: the estimate must land within 5%
+    // of the exact distinct count (HllAggSpec separately pins accuracy and
+    // merge associativity).
+    Q(
+      "q77_hll_sketch",
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
       graft.functions.HllAgg.register(s)
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT event_type,
-          |  graft_hll(user_id) AS approx_users,
-          |  COUNT(DISTINCT user_id) AS exact_users
+          |  COUNT(DISTINCT user_id) AS exact_users,
+          |  ABS(CAST(graft_hll(user_id) AS DOUBLE)
+          |      - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+          |    <= 0.05 * CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS within_5pct
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)

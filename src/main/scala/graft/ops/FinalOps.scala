@@ -15,10 +15,12 @@ object FinalOps {
     Q(
       "q87_map_functions",
       """SELECT c_custkey,
-        |  list_sort(map_keys(MAP{'seg': c_mktsegment,
-        |                         'nat': CAST(c_nationkey AS VARCHAR)})) AS ks,
-        |  cardinality(MAP{'seg': c_mktsegment,
-        |                  'nat': CAST(c_nationkey AS VARCHAR)}) AS n_entries,
+        |  array_to_string(list_sort(map_keys(
+        |    MAP{'seg': c_mktsegment,
+        |        'nat': CAST(c_nationkey AS VARCHAR)})), ',') AS ks,
+        |  CAST(cardinality(MAP{'seg': c_mktsegment,
+        |                       'nat': CAST(c_nationkey AS VARCHAR)}) AS BIGINT)
+        |    AS n_entries,
         |  MAP{'seg': c_mktsegment,
         |      'nat': CAST(c_nationkey AS VARCHAR)}['seg'][1] AS seg
         |FROM customer
@@ -30,7 +32,8 @@ object FinalOps {
       Tables.table(s, dir, "customer")
         .filter(col("c_custkey") <= 40)
         .select(col("c_custkey"),
-          array_sort(map_keys(m)).as("ks"),
+          // stringified for the driver's pandas compare (no array cells)
+          array_join(array_sort(map_keys(m)), ",").as("ks"),
           size(m).cast("bigint").as("n_entries"),
           m(lit("seg")).as("seg"))
         .orderBy(col("c_custkey"))

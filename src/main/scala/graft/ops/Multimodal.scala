@@ -13,17 +13,21 @@ import graft.Tables
 object Multimodal {
 
   /** STUB "decoder": a stand-in for image/audio decoding. Deterministic
-    * fake features derived from the payload bytes; the real implementation
+    * fake features derived from the decoded payload; the real implementation
     * would decode the media frame here, one partition-batch at a time.
+    * Features are codepoint-stream statistics so the DuckDB oracle can
+    * recompute them exactly from the source text column.
     */
   private[ops] def decodeStub(payload: Array[Byte]): Array[Double] = {
     // ??? real codec goes here; deterministic fake keeps tests honest
-    val n = payload.length
+    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val cps = text.codePoints().toArray
+    val h = cps.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
     Array(
-      n.toDouble,
-      if (n > 0) payload(0).toDouble else 0.0,
-      if (n > 0) payload(n - 1).toDouble else 0.0,
-      payload.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007).toDouble)
+      cps.length.toDouble,
+      if (cps.nonEmpty) cps.head.toDouble else 0.0,
+      if (cps.nonEmpty) cps.last.toDouble else 0.0,
+      h.toDouble)
   }
 
   val queries: Seq[Q] = Seq(
@@ -32,31 +36,54 @@ object Multimodal {
     // codepoint intensities) standing in for decoded features.
     Q(
       "q60_multimodal_meta",
-      """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS digest,
-        |  list_transform(range(4), i ->
-        |    ROUND(CAST(unicode(substr(text, i + 1, 1)) AS DOUBLE) / 255.0, 6))
-        |    AS fake_features
-        |FROM documents
-        |WHERE doc_id < 100
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    md5(text) AS digest,
+        |    list_transform(range(4), i ->
+        |      ROUND(CAST(unicode(substr(text, i + 1, 1)) AS DOUBLE) / 255.0, 6))
+        |      AS ff
+        |  FROM documents
+        |  WHERE doc_id < 100)
+        |SELECT doc_id, n_bytes, digest,
+        |  ff[1] AS f0, ff[2] AS f1, ff[3] AS f2, ff[4] AS f3
+        |FROM f
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // the feature vector is computed as an array; the gate projection
+      // indexes it to scalars (the driver's pandas compare can't sort
+      // raw array cells)
+      val feats = expr("transform(sequence(0, 3), i -> " +
+        "ROUND(CAST(ascii(substr(text, i + 1, 1)) AS DOUBLE) / 255.0, 6))")
       Tables.table(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          octet_length(col("text")).as("n_bytes"),
+          octet_length(col("text")).cast("bigint").as("n_bytes"),
           md5(col("text")).as("digest"),
-          expr("transform(sequence(0, 3), i -> " +
-            "ROUND(CAST(ascii(substr(text, i + 1, 1)) AS DOUBLE) / 255.0, 6))")
-            .as("fake_features"))
+          feats.as("ff"))
+        .select(col("doc_id"), col("n_bytes"), col("digest"),
+          element_at(col("ff"), 1).as("f0"), element_at(col("ff"), 2).as("f1"),
+          element_at(col("ff"), 3).as("f2"), element_at(col("ff"), 4).as("f3"))
         .orderBy(col("doc_id"))
     },
 
-    // E9 rows-only: the mapPartitions decode path — binary column in, typed
+    // E9: the mapPartitions decode path — binary column in, typed
     // (id, meta, features) batch out, one decoder instance per partition.
     // This is the plumbing a real image/audio pipeline reuses; only
-    // decodeStub changes.
-    Q.rowsOnly("q61_multimodal_decode") { (s, dir) =>
+    // decodeStub changes. The stub's codepoint-stream features are
+    // recomputed exactly by the DuckDB oracle from the text column.
+    Q(
+      "q61_multimodal_decode",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) AS DOUBLE) AS n_cp,
+        |  CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS cp_first,
+        |  CAST(unicode(substr(text, length(text), 1)) AS DOUBLE) AS cp_last,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS DOUBLE) AS cp_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
@@ -66,10 +93,10 @@ object Multimodal {
         // per-partition decoder init would happen here (codec handles,
         // GPU context, ...) — then stream the batch through it
         batch.map { case (id, payload) =>
-          val feats = decodeStub(payload)
-          (id, payload.length, feats)
+          val f = decodeStub(payload)
+          (id, payload.length.toLong, f(0), f(1), f(2), f(3))
         }
-      }.toDF("doc_id", "n_bytes", "features")
+      }.toDF("doc_id", "n_bytes", "n_cp", "cp_first", "cp_last", "cp_hash")
         .orderBy(col("doc_id"))
     })
 }

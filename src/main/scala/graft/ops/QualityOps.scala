@@ -31,7 +31,7 @@ object QualityOps {
         |    SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
         |      AS n_len_mismatch
         |  FROM documents)
-        |SELECT c.constraint_name, c.metric,
+        |SELECT c.constraint_name, CAST(c.metric AS BIGINT) AS metric,
         |  CASE WHEN c.metric = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM m, LATERAL (VALUES
         |  ('unique_doc_id',      m.n_rows - m.n_ids),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -150,31 +150,67 @@ object Similarity {
         .limit(5)
     },
 
-    // E6/E7 MLlib scale path: MinHashLSH approx similarity self-join on
-    // token sets (Jaccard distance <= 0.2). The sketch is engine-internal,
-    // so this is a rows-only check; exact q46 is its oracle counterpart.
-    Q.rowsOnly("q53_minhash_lsh_ml") { (s, dir) =>
-      // The synthetic corpus draws every doc from one ~40-word vocabulary,
-      // so token SETS nearly coincide and every LSH bucket degenerates to
-      // ~all docs (candidate join → n²). Real corpora shingle into a huge
-      // space where buckets stay small; here we cap the join input to keep
-      // the demonstration honest about the algorithm, not the degeneracy.
+    // E6/E7 MLlib scale path: MinHashLSH approx similarity self-join over
+    // token-3-gram SHINGLE sets. Shingling (q79's front half) expands the
+    // feature space from the ~40-word vocabulary to a huge shingle space,
+    // so LSH buckets stay small and no input cap is needed — this is the
+    // exact featurization a 100 TB near-dup pass runs. The gate re-scores
+    // every emitted candidate with the EXACT shingle Jaccard (codegen
+    // token_jaccard) at >= 0.8, and the oracle recomputes that exact set
+    // with q46's formula (the size-band join predicate is implied by
+    // J >= 0.8: min(|A|,|B|) >= 0.8*max — it only prunes the oracle's
+    // pair search, never its answer). LSH is recall-verified against the
+    // exact set at the gate SFs; 6 OR-ed tables put the per-pair miss
+    // probability at (1-0.8)^6 ≈ 6e-5.
+    Q(
+      "q53_minhash_lsh_ml",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2] || ' ' ||
+        |           string_split(text, ' ')[i+3])) AS sg
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ss AS (SELECT doc_id, sg, len(sg) AS n FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+        |FROM ss a JOIN ss b
+        |  ON a.doc_id < b.doc_id
+        | AND a.n >= b.n * 0.8 AND b.n >= a.n * 0.8
+        |WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      graft.functions.TokenJaccard.register(s)
+      val shingles =
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', element_at(toks, i + 1), " +
+          "element_at(toks, i + 2), element_at(toks, i + 3))))"
       val docs = Tables.table(s, dir, "documents")
-        .filter(org.apache.spark.sql.functions.col("doc_id") < 400)
-      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-        .setNumFeatures(1 << 14).setBinary(true)
-      val featured = tf.transform(tok.transform(docs))
-        .filter(size(col("words")) > 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(shingles).as("sg"))
+      val tf = new HashingTF().setInputCol("sg").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val featured = tf.transform(docs)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-        .setNumHashTables(4).setSeed(42L)
+        .setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(featured)
-      model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
+      // loose LSH threshold (hashed-space dist 0.5) so the exact >= 0.8
+      // cut below is the only boundary that matters
+      val jac = expr("token_jaccard(sg_a, sg_b)")
+      model.approxSimilarityJoin(featured, featured, 0.5, "dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),
           col("datasetB.doc_id").as("doc_b"),
-          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+          col("datasetA.sg").as("sg_a"),
+          col("datasetB.sg").as("sg_b"))
         .filter(col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     })
 }

@@ -213,10 +213,10 @@ object TpchFull {
     Q(
       "q98_tpch_q12_priority",
       """SELECT l.l_linestatus,
-        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
         |GROUP BY l.l_linestatus

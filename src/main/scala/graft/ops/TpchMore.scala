@@ -177,7 +177,7 @@ object TpchMore {
     Q(
       "q86_sorted_collect",
       """SELECT c_nationkey,
-        |  list_sort(list(c_mktsegment)) AS segments
+        |  array_to_string(list_sort(list(c_mktsegment)), ',') AS segments
         |FROM (SELECT c_nationkey, c_mktsegment FROM customer
         |      WHERE c_custkey <= 100)
         |GROUP BY c_nationkey
@@ -185,7 +185,10 @@ object TpchMore {
       Tables.table(s, dir, "customer")
         .filter(col("c_custkey") <= 100)
         .groupBy(col("c_nationkey"))
-        .agg(array_sort(collect_list(col("c_mktsegment"))).as("segments"))
+        // gate projection joins the sorted list to one scalar — the
+        // driver's pandas compare can't sort raw array cells
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",")
+          .as("segments"))
         .orderBy(col("c_nationkey"))
     })
 }

@@ -50,7 +50,10 @@ object SqlRepair {
     */
   def canonicalizeLiterals(sql: String, dict: DataDictionary): String = {
     var out = sql
-    // per-column case rules
+    // one pass per column IN DICTIONARY ORDER, case rule then map_values —
+    // matching the reference's loop structure (query_llm.py:299-341): if
+    // two columns map the same literal differently, the FIRST column's
+    // rewrite fires (and later columns see the already-rewritten text)
     dict.columns.foreach { c =>
       c.canonicalization.caseRule.foreach { rule =>
         val apply: String => String =
@@ -69,25 +72,13 @@ object SqlRepair {
         m.appendTail(sb)
         out = sb.toString
       }
-    }
-    // global map_values over quoted literals
-    val mapValues: Map[String, Option[String]] =
-      dict.columns.flatMap(_.canonicalization.mapValues).toMap
-    if (mapValues.nonEmpty) {
-      val m = Pattern.compile("""'([^']*)'""").matcher(out)
-      val sb = new java.lang.StringBuilder
-      while (m.find()) {
-        val lit = m.group(1)
-        val mapped = mapValues.get(lit).orElse(mapValues.get(lit.toLowerCase))
-        val replacement = mapped match {
-          case Some(Some(v)) => "'" + v + "'"
-          case Some(None)    => "NULL"
-          case None          => m.group(0)
-        }
-        m.appendReplacement(sb, Matcher.quoteReplacement(replacement))
+      // this column's map_values, applied globally to any matching quoted
+      // literal, case-insensitively, in JSON entry order (query_llm.py:334)
+      c.canonicalization.mapValues.foreach { case (src, dst) =>
+        val p = Pattern.compile("""(?i)'""" + Pattern.quote(src) + "'")
+        out = p.matcher(out).replaceAll(Matcher.quoteReplacement(
+          dst.map("'" + _ + "'").getOrElse("NULL")))
       }
-      m.appendTail(sb)
-      out = sb.toString
     }
     out
   }

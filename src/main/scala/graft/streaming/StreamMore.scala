@@ -64,7 +64,8 @@ object StreamMore {
     Q(
       "q116_observed_metrics",
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS n_negative,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  MAX(o_totalprice) AS max_price
         |FROM orders""".stripMargin) { (s, dir) =>

@@ -37,9 +37,20 @@ object StreamOps {
       s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(path))
+    val target = java.nio.file.Paths.get(path)
+    // NOFOLLOW: a broken symlink (testdata dir moved/recreated) reports
+    // !exists under the default follow semantics, and createSymbolicLink
+    // would then throw FileAlreadyExists. Also re-point a stale link whose
+    // target differs (scratch dirs persist across runs and hashCode keys
+    // can collide).
+    if (java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+      (!java.nio.file.Files.isSymbolicLink(link) ||
+        java.nio.file.Files.readSymbolicLink(link) != target))
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
     val raw = spark.read.parquet(path).schema
     val st = spark.readStream.schema(raw).parquet(streamDir.toString)
     if (raw("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -37,11 +37,11 @@ class BridgeSpec extends AnyFunSuite {
       ColumnMeta("status", "STRING", importance = 10,
         aliases = Seq("condition"),
         canonicalization = Canonicalization(caseRule = Some("lower"),
-          mapValues = Map("ONLINE" -> Some("online")))),
+          mapValues = Seq("ONLINE" -> Some("online")))),
       ColumnMeta("state", "STRING", importance = 2),
       ColumnMeta("country", "STRING",
         canonicalization = Canonicalization(
-          mapValues = Map("us" -> Some("United States")))),
+          mapValues = Seq("us" -> Some("United States")))),
       ColumnMeta("cloud", "STRING"),
       ColumnMeta("corecount", "INT", aliases = Seq("cores"))))
 

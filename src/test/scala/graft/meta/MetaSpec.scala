@@ -41,7 +41,7 @@ class MetaSpec extends AnyFunSuite {
       AllowedValues.Literals(Seq("online", "offline"))))
     assert(d.byName("status").canonicalization.caseRule.contains("lower"))
     assert(d.byName("status").canonicalization.mapValues ==
-      Map("ONLINE" -> Some("online"), "unknown" -> None))
+      Seq("ONLINE" -> Some("online"), "unknown" -> None))
     assert(d.byName("corecount").allowedValues.contains(
       AllowedValues.Range(1, 256)))
     assert(d.byName("cloud").allowedValues.contains(

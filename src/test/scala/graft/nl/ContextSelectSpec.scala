@@ -47,6 +47,20 @@ class ContextSelectSpec extends AnyFunSuite {
     assert(ctx.rules == Seq("prefer lowercase literal comparisons"))
   }
 
+  test("P7: equal-score columns keep dictionary order (reference parity)") {
+    // two fresh columns with identical importance and no question hit:
+    // whichever comes first in the dictionary must enter the context first
+    // (stable sort on score only, query_llm.py:95)
+    val tied = DataDictionary(
+      table = "t",
+      columns = Seq(
+        ColumnMeta("zzz_first", "STRING", importance = 5),
+        ColumnMeta("aaa_second", "STRING", importance = 5),
+        ColumnMeta("mmm_third", "STRING", importance = 5)))
+    val ctx = ContextSelect.selectRelevantContext("unrelated", tied, topK = 2)
+    assert(ctx.columns.map(_.name) == Seq("zzz_first", "aaa_second"))
+  }
+
   test("P8: render covers every allowed_values shape") {
     val ctx = ContextSelect.selectRelevantContext("anything", dict, topK = 12)
     val text = ContextSelect.render(ctx)

@@ -16,10 +16,10 @@ object RepairPropSpec extends Properties("SqlRepair") {
       ColumnMeta("queue", "STRING", aliases = Seq("queuename")),
       ColumnMeta("status", "STRING",
         canonicalization = Canonicalization(caseRule = Some("lower"),
-          mapValues = Map("ONLINE" -> Some("online"), "unknown" -> None))),
+          mapValues = Seq("ONLINE" -> Some("online"), "unknown" -> None))),
       ColumnMeta("country", "STRING",
         canonicalization = Canonicalization(
-          mapValues = Map("us" -> Some("United States")))),
+          mapValues = Seq("us" -> Some("United States")))),
       ColumnMeta("corecount", "INT")))
 
   val realColumns = Seq("queue", "status", "country", "corecount")

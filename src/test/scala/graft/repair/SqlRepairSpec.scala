@@ -61,12 +61,12 @@ class SqlRepairSpec extends AnyFunSuite {
           Seq("online", "offline", "test"))),
         canonicalization = Canonicalization(
           caseRule = Some("lower"),
-          mapValues = Map("ONLINE" -> Some("online"),
+          mapValues = Seq("ONLINE" -> Some("online"),
             "unknown" -> None))),
       ColumnMeta("state", "STRING", importance = 2),
       ColumnMeta("country", "STRING",
         canonicalization = Canonicalization(
-          mapValues = Map("us" -> Some("United States"),
+          mapValues = Seq("us" -> Some("United States"),
             "usa" -> Some("United States")))),
       ColumnMeta("cloud", "STRING",
         canonicalization = Canonicalization(caseRule = Some("upper"))),
@@ -108,6 +108,24 @@ class SqlRepairSpec extends AnyFunSuite {
     val out = SqlRepair.canonicalizeLiterals(in, dict)
     assert(out.contains("country = 'United States'"))
     assert(out.contains("status = NULL"))
+  }
+
+  test("P14: map_values collisions resolve first-column-wins, in order") {
+    // two columns map the same literal differently: the FIRST column's
+    // rewrite fires and the second never sees the original literal
+    // (reference loop order, query_llm.py:299-341)
+    val collide = DataDictionary(
+      table = "t",
+      columns = Seq(
+        ColumnMeta("a", "STRING", canonicalization =
+          Canonicalization(mapValues = Seq("x" -> Some("from_a")))),
+        ColumnMeta("b", "STRING", canonicalization =
+          Canonicalization(mapValues = Seq("x" -> Some("from_b"))))))
+    assert(SqlRepair.canonicalizeLiterals("WHERE a = 'x'", collide) ==
+      "WHERE a = 'from_a'")
+    // map literal match is case-insensitive like the reference's (?i)
+    assert(SqlRepair.canonicalizeLiterals("WHERE a = 'X'", collide) ==
+      "WHERE a = 'from_a'")
   }
 
   test("P15: alias rewrite is guarded by 'alias not real'") {
