@@ -198,10 +198,15 @@ object Similarity {
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
         .setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(featured)
+      // materialize the signed frame ONCE: approxSimilarityJoin consumes
+      // both sides of the self-join, and without this the shingle +
+      // minhash computation runs twice (measured ~2x on the whole query)
+      val signedCp = model.transform(featured).localCheckpoint(true)
+      val signed = s.createDataFrame(signedCp.rdd, signedCp.schema)
       // loose LSH threshold (hashed-space dist 0.5) so the exact >= 0.8
       // cut below is the only boundary that matters
       val jac = expr("token_jaccard(sg_a, sg_b)")
-      model.approxSimilarityJoin(featured, featured, 0.5, "dist")
+      model.approxSimilarityJoin(signed, signed, 0.5, "dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),
           col("datasetB.doc_id").as("doc_b"),
