@@ -18,7 +18,8 @@ object SparkEntry {
       StreamOps.queries ++ Extensibility.queries ++ Multimodal.queries ++
       Sinks.queries ++ Extras.queries ++ Ivf.queries ++ TpchMore.queries ++
       FinalOps.queries ++ TpchFull.queries ++ FrontierOps.queries ++
-      DepthOps.queries ++ StreamMore.queries ++ QualityOps.queries
+      DepthOps.queries ++ StreamMore.queries ++ QualityOps.queries ++
+      PipelineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators beyond SURVEY.md §2's inventory — the
+  * corpus-preparation passes a 100 TB LLM data pipeline runs between raw
+  * ingestion and tokenization: benchmark decontamination, repetition-based
+  * quality signals, deterministic stratified sampling / language
+  * rebalancing, sequence packing, stopword scrubbing, and the corpus mix
+  * report. All arithmetic is integer or DECIMAL-stabilized so the DuckDB
+  * oracle matches bit-for-bit.
+  */
+object PipelineOps {
+
+  val queries: Seq[Q] = Seq(
+    // Benchmark decontamination: flag eval-split documents whose word
+    // 5-grams appear anywhere in the train split (the standard n-gram
+    // overlap check run before training on scraped corpora). Scale shape:
+    // the only join is an EQUI-join on the shingle value — shuffle on the
+    // shingle key, train side pre-distincted (map-side partial) — never a
+    // doc×doc comparison. At 100 TB the shingle string is replaced by its
+    // 64-bit hash to cut shuffle width; semantics are identical.
+    Q(
+      "q126_decontamination",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))))
+        |    AS ng
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |train AS (SELECT DISTINCT ng FROM sh WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT doc_id, ng FROM sh WHERE doc_id % 10 = 0)
+        |SELECT ev.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN train.ng IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_contaminated,
+        |  ROUND(CAST(SUM(CASE WHEN train.ng IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM ev LEFT JOIN train ON ev.ng = train.ng
+        |GROUP BY ev.doc_id
+        |ORDER BY ev.doc_id""".stripMargin) { (s, dir) =>
+      // token array materialized BELOW the generator (q79's pattern) so
+      // the shingle lambda reads a bound attribute, not a re-split
+      val sh = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 5), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 5)))"))).as("ng"))
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("ng").as("tng")).distinct()
+      val hit = sum(when(col("tng").isNotNull, 1).otherwise(0))
+      sh.filter(col("doc_id") % 10 === 0)
+        .join(train, col("ng") === col("tng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          hit.as("n_contaminated"),
+          round(hit.cast("double") / count(lit(1)), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition quality signals (the Gopher-rule family): distinct-token
+    // fraction, most-frequent-token fraction, duplicate-bigram fraction.
+    // Token counts go through one explode + two hash aggregations (all
+    // partial-agg pipelines); bigram stats are computed map-side from the
+    // token array. One shuffle on doc_id at any scale.
+    Q(
+      "q127_repetition_quality",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) - 1 AS n_bigrams,
+        |    len(list_distinct(list_transform(
+        |      range(len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS n_uniq_bigrams
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_uniq, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tokens,
+        |  ROUND(CAST(a.n_uniq AS DOUBLE) / a.n_tokens, 6) AS uniq_frac,
+        |  ROUND(CAST(a.top_cnt AS DOUBLE) / a.n_tokens, 6) AS top_frac,
+        |  ROUND(1.0 - CAST(b.n_uniq_bigrams AS DOUBLE) / b.n_bigrams, 6)
+        |    AS dup_bigram_frac
+        |FROM agg a JOIN bg b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val bg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          (size(col("toks")) - 1).as("n_bigrams"),
+          size(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> concat_ws(' ', element_at(toks, i + 1), " +
+              "element_at(toks, i + 2)))"))).as("n_uniq_bigrams"))
+      val agg = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_uniq"),
+          max(col("c")).as("top_cnt"))
+      agg.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_uniq").cast("double") / col("n_tokens"), 6)
+            .as("uniq_frac"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+            .as("top_frac"),
+          round(lit(1.0) - col("n_uniq_bigrams").cast("double")
+            / col("n_bigrams"), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic stratified sampling + language rebalancing: the
+    // sampling decision is a pure integer hash of doc_id (reproducible
+    // across runs/engines/cluster layouts — rand() is none of those), and
+    // the per-language balance weight is what a mixture-targeting pipeline
+    // multiplies into its sampling rate to flatten the language skew.
+    // Pure map + one aggregate; the total is a 5-row window, not a
+    // driver collect.
+    Q(
+      "q128_stratified_sample",
+      """WITH s AS (
+        |  SELECT lang,
+        |    ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN h < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sampled
+        |  FROM s GROUP BY lang)
+        |SELECT lang, n_total, n_sampled,
+        |  ROUND(CAST(n_sampled AS DOUBLE) / n_total, 6) AS sample_rate,
+        |  ROUND(LEAST(1.0,
+        |    (CAST(SUM(n_total) OVER () AS DOUBLE) / COUNT(*) OVER ())
+        |      / n_total), 6) AS balance_weight
+        |FROM g
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val h = ((col("doc_id") * 1103515245L + 12345L) % 2147483648L) % 100
+      val g = Tables.table(s, dir, "documents")
+        .select(col("lang"), h.as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("h") < 20, 1).otherwise(0)).as("n_sampled"))
+      val w = Window.partitionBy()
+      g.select(col("lang"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total"), 6)
+          .as("sample_rate"),
+        round(least(lit(1.0),
+          (sum(col("n_total")).over(w).cast("double")
+            / count(lit(1)).over(w)) / col("n_total")), 6)
+          .as("balance_weight"))
+        .orderBy(col("lang"))
+    },
+
+    // Sequence packing: assign documents to fixed token-budget chunks via
+    // a running-sum window per language — the streaming form of the
+    // pre-tokenization packing pass (docs may straddle a boundary; the
+    // chunk is decided by each doc's START offset, which makes assignment
+    // order-deterministic and engine-independent). At 100 TB the partition
+    // key becomes (lang, shard) so no single window partition exceeds a
+    // task; the in-shard running sum is unchanged.
+    Q(
+      "q129_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS off
+        |  FROM t)
+        |SELECT lang, CAST(FLOOR(off / 2048) AS BIGINT) AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c
+        |GROUP BY lang, chunk_id
+        |ORDER BY lang, chunk_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .groupBy(col("lang"),
+          floor(col("off") / 2048).cast("bigint").as("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"), col("chunk_id"))
+    },
+
+    // Stopword scrub: filter the token stream, emit before/after counts
+    // and a digest of the scrubbed text (the downstream-identity check a
+    // cleaning pass ships instead of the full rewritten corpus). Pure
+    // map-side lambda over the token array — scan-speed at any scale.
+    Q(
+      "q130_stopword_scrub",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t NOT IN ('a', 'the'))) AS BIGINT) AS n_after,
+        |  md5(array_to_string(list_filter(string_split(text, ' '),
+        |    t -> t NOT IN ('a', 'the')), ' ')) AS scrub_digest
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_before"),
+          size(expr("filter(toks, t -> NOT t IN ('a', 'the'))"))
+            .cast("bigint").as("n_after"),
+          md5(concat_ws(" ",
+            expr("filter(toks, t -> NOT t IN ('a', 'the'))")))
+            .as("scrub_digest"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus mix report: the per-(source, language) doc/token shares a
+    // mixture-weighted training run is configured from. One scan + one
+    // aggregate; the corpus-total denominator is a window over the tiny
+    // grouped result, not a second scan.
+    Q(
+      "q131_corpus_mix",
+      """WITH g AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE)
+        |    / SUM(n_tokens) OVER (), 6) AS token_share
+        |FROM g
+        |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy()
+      Tables.table(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(w), 6).as("token_share"))
+        .orderBy(col("source"), col("lang"))
+    })
+}
