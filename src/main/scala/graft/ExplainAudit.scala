@@ -30,7 +30,8 @@ object ExplainAudit {
         "q53_minhash_lsh_ml", "q59_custom_expr_dot",
         "q94_tpch_q2_mincost", "q99_tpch_q13_custdist",
         "q104_tpch_q21_last_shipper", "q106_cms_heavy_hitters",
-        "q113_tfidf_topterms", "q120_tpch_q9_profit")
+        "q113_tfidf_topterms", "q120_tpch_q9_profit",
+        "q126_decontamination", "q129_sequence_packing")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, dir)

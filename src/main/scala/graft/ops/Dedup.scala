@@ -63,6 +63,33 @@ object Dedup {
         col("sb." + payload).as(payload + "_b"))
   }
 
+  /** Asymmetric variant of [[bandedPairs]] for incremental ingestion
+    * (q134): probe a small incoming batch against the standing corpus on
+    * the same (lang, length-band) blocking key. The probe side explodes to
+    * bands {b-1, b, b+1} so every |Δn_chars| <= 5 pair is covered; the
+    * build side stays one row per doc. Returns
+    * (batch_id, corpus_id, <payload>_a, <payload>_b) with the exact
+    * length residual applied. At 100 TB this is the nightly-ingest shape:
+    * shuffle is O(batch + corpus) on the composite key, and the corpus
+    * side can be a bucketed table so only the batch shuffles.
+    */
+  private[ops] def bandedProbe(
+      batch: DataFrame, corpus: DataFrame, payload: String): DataFrame = {
+    val probe = batch.withColumn("bkt", floor(col("n_chars") / 5))
+      .select(col("lang"),
+        struct(col("doc_id"), col("n_chars"), col(payload)).as("pa"),
+        explode(expr("array(bkt - 1, bkt, bkt + 1)")).as("key"))
+    val build = corpus.withColumn("key", floor(col("n_chars") / 5))
+      .select(col("lang"),
+        struct(col("doc_id"), col("n_chars"), col(payload)).as("pb"),
+        col("key"))
+    probe.join(build, Seq("lang", "key"))
+      .filter(abs(col("pa.n_chars") - col("pb.n_chars")) <= 5)
+      .select(col("pa.doc_id").as("batch_id"), col("pb.doc_id").as("corpus_id"),
+        col("pa." + payload).as(payload + "_a"),
+        col("pb." + payload).as(payload + "_b"))
+  }
+
   /** DuckDB-side equivalent of [[sparkTokenHashes]]. */
   private val duckTokenHashes =
     "list_transform(list_distinct(string_split(text, ' ')), " +

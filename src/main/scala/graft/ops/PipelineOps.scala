@@ -224,6 +224,154 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // Int8 embedding quantization: the 4× storage-compression pass a
+    // 100 TB embedding store runs before indexing. Per-vector symmetric
+    // scale (max|x|/127), round-half-up to int8, plus the round-trip
+    // metrics that gate the compression (reconstruction MSE and
+    // original↔dequantized cosine). Every number is a sequential
+    // left-to-right fold over dimensions — identical in both engines —
+    // and the op is a pure map stage: no shuffle at any scale.
+    Q(
+      "q132_embedding_quantize",
+      """WITH q AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS qscale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, label, qscale, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT))
+        |      AS qi
+        |  FROM q)
+        |SELECT vec_id, label,
+        |  ROUND(qscale, 6) AS qscale_r,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qi, x -> abs(x))), (a, b) -> a + b) AS BIGINT)
+        |    AS l1q,
+        |  ROUND(list_reduce(list_transform(range(len(embedding)),
+        |    i -> (CAST(embedding[i+1] AS DOUBLE) - qi[i+1] * qscale)
+        |       * (CAST(embedding[i+1] AS DOUBLE) - qi[i+1] * qscale)),
+        |    (a, b) -> a + b) * 1000000 / len(embedding), 4) AS mse_ppm,
+        |  ROUND(list_reduce(list_transform(range(len(embedding)),
+        |      i -> CAST(embedding[i+1] AS DOUBLE) * qi[i+1] * qscale),
+        |      (a, b) -> a + b)
+        |    / sqrt(list_reduce(list_transform(range(len(embedding)),
+        |      i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)),
+        |      (a, b) -> a + b))
+        |    / sqrt(list_reduce(list_transform(range(len(embedding)),
+        |      i -> (qi[i+1] * qscale) * (qi[i+1] * qscale)),
+        |      (a, b) -> a + b)), 6) AS cos_roundtrip
+        |FROM qq
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      def fold(body: String): String =
+        s"aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE), " +
+          s"(acc, i) -> acc + ($body))"
+      Tables.table(s, dir, "embeddings")
+        .withColumn("qscale", expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+        .withColumn("qi", expr(
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT))"))
+        .select(col("vec_id"), col("label"),
+          round(col("qscale"), 6).as("qscale_r"),
+          expr("aggregate(qi, CAST(0 AS BIGINT), (a, b) -> a + abs(b))")
+            .as("l1q"),
+          round(expr(fold(
+            "(CAST(element_at(embedding, i+1) AS DOUBLE) - element_at(qi, i+1) * qscale)" +
+              " * (CAST(element_at(embedding, i+1) AS DOUBLE) - element_at(qi, i+1) * qscale)"))
+            * 1000000 / size(col("embedding")), 4).as("mse_ppm"),
+          round(expr(fold(
+            "CAST(element_at(embedding, i+1) AS DOUBLE) * element_at(qi, i+1) * qscale"))
+            / sqrt(expr(fold(
+              "CAST(element_at(embedding, i+1) AS DOUBLE) * CAST(element_at(embedding, i+1) AS DOUBLE)")))
+            / sqrt(expr(fold(
+              "(element_at(qi, i+1) * qscale) * (element_at(qi, i+1) * qscale)"))),
+            6).as("cos_roundtrip"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Deterministic corpus shuffle: training-epoch order as a pure integer
+    // hash of doc_id — reproducible across engines, runs, and partition
+    // layouts (ORDER BY rand() is none of those). At 100 TB this is a
+    // range partition on the hash key (one shuffle, totally ordered
+    // output files); the gate query reads the head of that order.
+    Q(
+      "q133_deterministic_shuffle",
+      """SELECT doc_id,
+        |  ((doc_id * 1103515245 + 12345) % 2147483648) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") * 1103515245L + 12345L) % 2147483648L)
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(20)
+    },
+
+    // Incremental ingestion dedup: a new batch (10% of docs) checked
+    // against the standing corpus WITHOUT re-deduplicating the corpus —
+    // exact dups via content-digest equi-join, near-dups via the
+    // asymmetric (lang, length-band) banded probe (Dedup.bandedProbe) +
+    // exact token Jaccard. Each batch doc gets the triage verdict an
+    // ingestion pipeline acts on. This is the nightly shape at 100 TB:
+    // cost scales with the batch, not the corpus.
+    Q(
+      "q134_incremental_dedup",
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+        |    list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+        |c AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.h = c.h),
+        |nd AS (
+        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b JOIN c
+        |    ON b.lang = c.lang AND abs(b.n_chars - c.n_chars) <= 5
+        |  WHERE CAST(len(list_intersect(b.tk, c.tk)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(b.tk, c.tk))) >= 0.8
+        |  GROUP BY b.doc_id)
+        |SELECT b.doc_id,
+        |  ex.doc_id IS NOT NULL AS exact_dup,
+        |  CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_neardup,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+        |       WHEN COALESCE(nd.n, 0) > 0 THEN 'drop_neardup'
+        |       ELSE 'keep' END AS action
+        |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN nd ON b.doc_id = nd.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.TokenJaccard.register(s)
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"),
+          array_distinct(split(col("text"), " ")).as("tk"))
+      val isBatch = col("doc_id") % 10 === 7
+      val b = d.filter(isBatch)
+      val c = d.filter(!isBatch)
+      val exact = b.select(col("doc_id"), col("h"))
+        .join(c.select(col("h").as("ch")).distinct(),
+          col("h") === col("ch"), "left")
+        .groupBy(col("doc_id"))
+        .agg(max(col("ch").isNotNull).as("exact_dup"))
+      val near = Dedup.bandedProbe(b, c, "tk")
+        .filter(expr("token_jaccard(tk_a, tk_b)") >= 0.8)
+        .groupBy(col("batch_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_neardup"))
+      b.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+          coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+          when(col("exact_dup"), "drop_exact")
+            .when(coalesce(col("n_neardup"), lit(0L)) > 0, "drop_neardup")
+            .otherwise("keep").as("action"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
