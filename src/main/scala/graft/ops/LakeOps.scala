@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-lake maintenance operators: MERGE/upsert semantics expressed as a
+  * full-outer join (the engine-neutral form of `MERGE INTO`), snapshot
+  * diffing (the CDC primitive between two table versions), and the
+  * positional-generator surface (posexplode). These are the table-
+  * maintenance passes that keep a 100 TB corpus updatable without
+  * rewriting it wholesale.
+  */
+object LakeOps {
+
+  val queries: Seq[Q] = Seq(
+    // MERGE/upsert: target ∪ source with source-wins conflict resolution,
+    // expressed as one full-outer join on the key — the shape MERGE INTO
+    // compiles to on any engine. At 100 TB the target is bucketed on the
+    // key so only the (small) source shuffles; matched/inserted/unchanged
+    // row classes come out of the same join, no second pass. Money sums go
+    // through DECIMAL so partial-agg order can't perturb the total.
+    Q(
+      "q135_upsert_merge",
+      """WITH t AS (
+        |  SELECT c_custkey AS k, c_acctbal AS v
+        |  FROM customer WHERE c_custkey <= 1400),
+        |s AS (
+        |  SELECT c_custkey AS k, ROUND(c_acctbal + 100, 2) AS v
+        |  FROM customer WHERE c_custkey > 1300),
+        |m AS (
+        |  SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v,
+        |    CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'updated'
+        |         WHEN s.k IS NOT NULL THEN 'inserted'
+        |         ELSE 'unchanged' END AS action
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_v
+        |FROM m GROUP BY action
+        |ORDER BY action""".stripMargin) { (s, dir) =>
+      val cust = Tables.table(s, dir, "customer")
+      val t = cust.filter(col("c_custkey") <= 1400)
+        .select(col("c_custkey").as("tk"), col("c_acctbal").as("tv"))
+      val src = cust.filter(col("c_custkey") > 1300)
+        .select(col("c_custkey").as("sk"),
+          round(col("c_acctbal") + 100, 2).as("sv"))
+      t.join(src, col("tk") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("sv"), col("tv")).as("v"),
+          when(col("sk").isNotNull && col("tk").isNotNull, "updated")
+            .when(col("sk").isNotNull, "inserted")
+            .otherwise("unchanged").as("action"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("total_v"))
+        .orderBy(col("action"))
+    },
+
+    // Snapshot diff: the CDC primitive — classify every key across two
+    // table versions as added / removed / changed / same with ONE
+    // full-outer join on the key. At 100 TB both snapshots are bucketed
+    // on the key → zero-shuffle sort-merge; the diff is what an
+    // incremental downstream consumes instead of the full snapshot.
+    Q(
+      "q136_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN v1.k IS NULL THEN 'added'
+        |              WHEN v2.k IS NULL THEN 'removed'
+        |              WHEN v1.p <> v2.p THEN 'changed'
+        |              ELSE 'same' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY change
+        |ORDER BY change""".stripMargin) { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+      val v2 = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("p2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .select(
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("same").as("change"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change"))
+    },
+
+    // Positional generator surface: posexplode — the (pos, value) form
+    // every token-position feature (positional n-grams, truncation,
+    // attention-window slicing) builds on. Generate doesn't collapse into
+    // its child, so the token array below it is computed once per row.
+    Q(
+      "q137_posexplode",
+      """SELECT doc_id, u.i - 1 AS pos, string_split(text, ' ')[u.i] AS tok
+        |FROM documents, LATERAL (
+        |  SELECT unnest(generate_series(1,
+        |    len(string_split(text, ' ')))) AS i) u
+        |WHERE doc_id < 3 AND u.i <= 10
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("pos") < 10)
+        .orderBy(col("doc_id"), col("pos"))
+    })
+}
