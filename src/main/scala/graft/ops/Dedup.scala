@@ -19,7 +19,7 @@ import graft.Tables
 object Dedup {
 
   /** Spark-side SQL fragments (Spark HOF dialect). */
-  private val sparkTokenHashes =
+  private[ops] val sparkTokenHashes =
     // distinct tokens -> rolling-131 polynomial hash (mod 1e9+7)
     "transform(array_distinct(split(text, ' ')), " +
       "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
@@ -91,7 +91,7 @@ object Dedup {
   }
 
   /** DuckDB-side equivalent of [[sparkTokenHashes]]. */
-  private val duckTokenHashes =
+  private[ops] val duckTokenHashes =
     "list_transform(list_distinct(string_split(text, ' ')), " +
       "t -> list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       "list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))), " +

@@ -372,6 +372,99 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram PMI (pointwise mutual information): the collocation score
+    // corpus linguists and tokenizer-vocabulary builders rank candidate
+    // merges by. Unigram and bigram counts are partial-agg explodes; the
+    // totals are 1-row broadcasts; the per-bigram join against the two
+    // unigram counts is an equi-join on the token — no quadratic step
+    // anywhere, so it runs at corpus scale.
+    Q(
+      "q138_pmi_cooccurrence",
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (
+        |  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+        |bi AS (
+        |  SELECT b AS bigram, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_transform(range(len(tk) - 1),
+        |          i -> tk[i+1] || ' ' || tk[i+2])) AS b
+        |        FROM toks WHERE len(tk) >= 2)
+        |  GROUP BY b),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+        |btot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_bi FROM bi)
+        |SELECT bi.bigram, bi.c AS n,
+        |  ROUND(ln((bi.c / btot.n_bi)
+        |    / ((ua.c / tot.n_uni) * (ub.c / tot.n_uni))), 6) AS pmi
+        |FROM bi
+        |JOIN uni ua ON ua.tok = string_split(bi.bigram, ' ')[1]
+        |JOIN uni ub ON ub.tok = string_split(bi.bigram, ' ')[2]
+        |CROSS JOIN tot CROSS JOIN btot
+        |WHERE bi.c >= 20
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = Tables.table(s, dir, "documents")
+        .select(split(col("text"), " ").as("tk"))
+      val uni = toks.select(explode(col("tk")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val bi = toks.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> concat_ws(' ', element_at(tk, i + 1), element_at(tk, i + 2)))"))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      val btot = bi.agg(sum(col("c")).cast("double").as("n_bi"))
+      bi.filter(col("c") >= 20)
+        .join(uni.select(col("tok").as("ta"), col("c").as("ca")),
+          expr("element_at(split(bigram, ' '), 1)") === col("ta"))
+        .join(uni.select(col("tok").as("tb"), col("c").as("cb")),
+          expr("element_at(split(bigram, ' '), 2)") === col("tb"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(col("bigram"), col("c").as("n"),
+          round(log((col("c") / col("n_bi"))
+            / ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // LSH bucket diagnostics: the bucket-size histogram of q47's MinHash
+    // band keys — the observability check that catches degenerate
+    // featurization BEFORE a quadratic bucket join runs (the q53 lesson:
+    // un-shingled tokens collapse every doc into a handful of buckets).
+    // Two partial-agg group-bys; output is O(distinct bucket sizes).
+    Q(
+      "q139_lsh_bucket_stats",
+      s"""WITH th AS (
+         |  SELECT doc_id, ${Dedup.duckTokenHashes} AS hashes FROM documents),
+         |bands AS (
+         |  SELECT doc_id, array_to_string(list_transform(range(4), i ->
+         |    list_min(list_transform(hashes,
+         |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS b0
+         |  FROM th),
+         |buckets AS (
+         |  SELECT b0, CAST(COUNT(*) AS BIGINT) AS bucket_size
+         |  FROM bands GROUP BY b0)
+         |SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+         |    AS candidate_pairs
+         |FROM buckets
+         |GROUP BY bucket_size
+         |ORDER BY bucket_size""".stripMargin) { (s, dir) =>
+      val sig = "transform(sequence(0, 3), i -> " +
+        "array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % 1000000007)))"
+      Tables.table(s, dir, "documents")
+        .withColumn("th", expr(Dedup.sparkTokenHashes))
+        .select(array_join(expr(sig), "-").as("b0"))
+        .groupBy(col("b0")).agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("bucket_size") * (col("bucket_size") - 1) / 2)
+            .cast("bigint").as("candidate_pairs"))
+        .orderBy(col("bucket_size"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
