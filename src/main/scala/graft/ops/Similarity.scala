@@ -24,12 +24,12 @@ import graft.Tables
 object Similarity {
 
   /** Spark dot product of two array columns (sequential double fold). */
-  private def dotExpr(a: String, b: String): String =
+  private[ops] def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
   /** DuckDB dot product (identical fold order). */
-  private def duckDot(a: String, b: String): String =
+  private[ops] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(len($a)), " +
       s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
@@ -46,11 +46,36 @@ object Similarity {
     * hyperplanes (the Spark side uses codegen array_dot against literal
     * plane vectors built from the same integer LCG — identical doubles).
     */
-  private def sigExprDuck(v: String): String =
+  private[ops] def sigExprDuck(v: String): String =
     "list_sum(list_transform(range(8), j -> " +
       s"CASE WHEN list_reduce(list_transform(range(64), i -> " +
       s"CAST($v[i + 1] AS DOUBLE) * $planeSql), (acc, x) -> acc + x) > 0 " +
       "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"
+
+  /** Add the 8-bit hyperplane-LSH signature column `sig` to an embeddings
+    * frame (codegen array_dot against literal plane vectors built from the
+    * same integer LCG the DuckDB oracle evaluates — identical doubles).
+    * Shared by q52 (ANN lookup) and q140 (recall evaluation).
+    */
+  private[ops] def withSig(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.ArrayDot.register(s)
+    val planes = (0 until 8).map { j =>
+      typedLit((0 until 64).map { i =>
+        ((1103515245L * (j * 64 + i) + 12345) % 2147483648L) /
+          2147483648.0 - 0.5
+      })
+    }
+    val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
+      d.withColumn(s"plane_$j", p)
+    }
+    val sigCol = (0 until 8).map { j =>
+      when(expr(s"array_dot(embedding, plane_$j)") > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    withPlanes.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+  }
 
   val queries: Seq[Q] = Seq(
     // E7 baseline: exact top-10 neighbors of vec 0 across the corpus.
@@ -119,27 +144,11 @@ object Similarity {
          |WHERE s.sig = q.qsig AND s.vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC
          |LIMIT 5""".stripMargin) { (s, dir) =>
-      graft.functions.ArrayDot.register(s)
       // plane vectors precomputed driver-side with the SAME integer LCG
       // the oracle uses → bit-identical doubles; each signature bit is one
       // codegen array_dot against a literal plane instead of a ~64-step
       // interpreted HOF fold (2.3s → sub-second at sf0.1)
-      val planes = (0 until 8).map { j =>
-        typedLit((0 until 64).map { i =>
-          ((1103515245L * (j * 64 + i) + 12345) % 2147483648L) /
-            2147483648.0 - 0.5
-        })
-      }
-      val withPlanes = planes.zipWithIndex.foldLeft(
-        Tables.table(s, dir, "embeddings")) { case (df, (p, j)) =>
-        df.withColumn(s"plane_$j", p)
-      }
-      val sigCol = (0 until 8).map { j =>
-        when(expr(s"array_dot(embedding, plane_$j)") > 0, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sigs = withPlanes
-        .select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+      val sigs = withSig(s, Tables.table(s, dir, "embeddings"))
       val q = sigs.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("sig").as("qsig"))
       sigs.join(broadcast(q), col("sig") === col("qsig"))
@@ -217,5 +226,76 @@ object Similarity {
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // E7 evaluation: recall@10 of the hyperplane-LSH index (q52's
+    // signature) against exact brute-force ground truth (q50's ranking)
+    // for 5 probe queries — the index-quality gate an ANN deployment
+    // monitors continuously. Ground truth runs on the (tiny) probe set
+    // only — broadcast fan-out + per-query top-k window, exactly the
+    // "recall oracle on samples" role q50 documents; candidates come from
+    // the signature equi-join. At 100 TB this evaluates the production
+    // index on a sampled probe set at constant cost.
+    Q(
+      "q140_ann_recall",
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, ${sigExprDuck("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, sig AS qsig
+         |      FROM sigs WHERE vec_id < 5),
+         |ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ROUND(${duckDot("e.embedding", "q.qe")}, 6) DESC,
+         |               e.vec_id ASC) AS rn
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |topk AS (SELECT query_id, vec_id FROM ranked WHERE rn <= 10),
+         |cand AS (
+         |  SELECT q.query_id, s.vec_id
+         |  FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id <> q.query_id),
+         |nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM cand GROUP BY query_id)
+         |SELECT topk.query_id,
+         |  CAST(COALESCE(MAX(nc.n), 0) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS DOUBLE) / 10, 6) AS recall10
+         |FROM topk
+         |LEFT JOIN cand ON topk.query_id = cand.query_id
+         |               AND topk.vec_id = cand.vec_id
+         |LEFT JOIN nc ON topk.query_id = nc.query_id
+         |GROUP BY topk.query_id
+         |ORDER BY topk.query_id""".stripMargin) { (s, dir) =>
+      val sigs = withSig(s, Tables.table(s, dir, "embeddings"))
+      val cpS = sigs.localCheckpoint(true)
+      val sg = s.createDataFrame(cpS.rdd, cpS.schema)
+      val q = sg.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("sig").as("qsig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val topk = sg.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("array_dot(embedding, qe)"), 6).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val cand = sg.join(broadcast(q.select(col("query_id"), col("qsig"))),
+          col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id").as("cq"), col("vec_id").as("cv"))
+      val nc = cand.groupBy(col("cq")).agg(count(lit(1)).as("n"))
+      val hits = sum(when(col("cv").isNotNull, 1).otherwise(0))
+      topk
+        .join(cand, col("query_id") === col("cq")
+          && col("vec_id") === col("cv"), "left")
+        .join(nc.withColumnRenamed("cq", "nq"),
+          col("query_id") === col("nq"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(max(col("n")), lit(0L)).as("n_candidates"),
+          hits.as("n_hits"),
+          round(hits.cast("double") / 10, 6).as("recall10"))
+        .orderBy(col("query_id"))
     })
 }
