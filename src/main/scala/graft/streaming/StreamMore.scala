@@ -57,6 +57,59 @@ object StreamMore {
       }
     },
 
+    // E12: stream-stream LEFT OUTER join — the attribution shape where
+    // clicks with NO purchase must also surface (conversion-rate
+    // denominators). Null-extended rows are emitted only once the global
+    // watermark passes the click's join-window end (the click can no
+    // longer match), so state stays bounded AND the unmatched output is
+    // deterministic; the trailing clicks still inside the horizon emit
+    // nothing — exactly what the oracle's watermark cutoff reproduces.
+    Q(
+      "q142_stream_stream_left_outer",
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |gw AS (SELECT LEAST(
+        |    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+        |  - INTERVAL 30 MINUTE AS w),
+        |j AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, c.c_ts
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |    AND p.p_ts >= c.c_ts
+        |    AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+        |SELECT click_id, COALESCE(purchase_id, -1) AS purchase_id, user_id
+        |FROM j, gw
+        |WHERE purchase_id IS NOT NULL
+        |   OR c_ts + INTERVAL 30 MINUTE < gw.w
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      StreamOps.withStateParts(s, 8) {
+      val clicks = StreamOps.eventsStreamFor(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = StreamOps.eventsStreamFor(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"),
+        "left_outer")
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("user_id"))
+      StreamOps.runToMemoryFor(s, joined, "append")
+        .orderBy(col("click_id"), col("purchase_id"))
+      }
+    },
+
     // Observed metrics (production observability): Observation attaches
     // aggregates to a flowing query at zero extra passes — the metrics
     // ride along the action. The gate returns them as a 1-row frame so
