@@ -527,6 +527,84 @@ object PipelineOps {
         .orderBy(col("lang"))
     },
 
+    // BPE-ish token counting: subword-piece estimates without a trained
+    // vocabulary — alpha-run segmentation via regex, ceil(len/4) pieces
+    // per run (the standard ~4-chars/token budgeting heuristic), plus the
+    // raw chars/4 estimate. This is how a pipeline prices a corpus in
+    // tokens before the real tokenizer ever runs. Pure map stage.
+    Q(
+      "q143_bpe_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+        |    AS n_alpha_runs,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(text, '[a-z]+'),
+        |    r -> (len(r) + 3) // 4)), 0) AS BIGINT) AS n_bpe_tokens,
+        |  CAST((n_chars + 3) // 4 AS BIGINT) AS n_est_char4
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+            .cast("bigint").as("n_alpha_runs"),
+          expr("aggregate(transform(regexp_extract_all(text, '[a-z]+', 0), " +
+            "r -> (length(r) + 3) div 4), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("n_bpe_tokens"),
+          expr("(n_chars + 3) div 4").cast("bigint").as("n_est_char4"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Zipf's-law fit: slope of log-frequency vs log-rank over the top-100
+    // vocabulary — the corpus-health statistic that flags synthetic or
+    // template-heavy text (natural corpora sit near slope -1). The
+    // regression sums go through DECIMAL so partial-agg order cannot
+    // perturb them (ln() ulp noise is absorbed by round-6 first, the q113
+    // precedent); the final slope arithmetic runs on ONE row.
+    Q(
+      "q144_zipf_fit",
+      """WITH uni AS (
+        |  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t),
+        |ranked AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM uni),
+        |pts AS (
+        |  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,9)) AS x,
+        |         CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,9)) AS y
+        |  FROM ranked WHERE r <= 100),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val uni = Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      val pts = uni
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .select(
+          round(log(col("r").cast("double")), 6).cast("decimal(18,9)").as("x"),
+          round(log(col("c").cast("double")), 6).cast("decimal(18,9)").as("y"))
+      pts.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("n").cast("bigint").as("n_points"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
