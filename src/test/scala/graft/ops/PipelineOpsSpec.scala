@@ -54,6 +54,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 triages every batch document exactly once") {
+    val rows = q("q134_incremental_dedup").collect()
+    val batchCount = graft.Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(rows.length.toLong == batchCount)
+    val actions = rows.map(_.getString(3)).toSet
+    assert(actions.subsetOf(Set("drop_exact", "drop_neardup", "keep")))
+  }
+
+  test("q140 recall@10 is a [0,1] fraction with hits <= min(10, candidates)") {
+    q("q140_ann_recall").collect().foreach { r =>
+      val (nc, hits, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hits <= 10 && hits <= nc)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - hits / 10.0) < 1e-9)
+    }
+  }
+
+  test("q144 fits a negative Zipf slope on a rank-frequency curve") {
+    val r = q("q144_zipf_fit").collect().head
+    assert(r.getLong(0) > 10, "needs a non-trivial vocabulary")
+    assert(r.getDouble(1) < 0.0, "log-log rank-frequency slope must be negative")
+  }
+
   test("q128 sampling is deterministic and counts add up") {
     val a = q("q128_stratified_sample").collect().map(_.toSeq)
     val b = q("q128_stratified_sample").collect().map(_.toSeq)
