@@ -452,11 +452,18 @@ object PipelineOps {
          |FROM buckets
          |GROUP BY bucket_size
          |ORDER BY bucket_size""".stripMargin) { (s, dir) =>
-      val sig = "transform(sequence(0, 3), i -> " +
-        "array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % 1000000007)))"
-      Tables.table(s, dir, "documents")
-        .withColumn("th", expr(Dedup.sparkTokenHashes))
-        .select(array_join(expr(sig), "-").as("b0"))
+      // explode + partial-agg min per hash function (q48's formulation):
+      // each token's rolling hash is computed ONCE; the transform-inside-
+      // transform form re-inlines the char fold into every minhash lambda
+      // (projection collapse) — measured ~4× slower at sf0.1
+      val perToken = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(Dedup.sparkTokenHashes)).as("h"))
+      val mins = (0 until 4).map { i =>
+        min(expr(s"((2*$i + 1) * h + ${7919 * i}) % 1000000007")).as(s"m$i")
+      }
+      perToken.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(concat_ws("-", (0 until 4).map(i => col(s"m$i")): _*).as("b0"))
         .groupBy(col("b0")).agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("bucket_size"))
         .agg(count(lit(1)).as("n_buckets"),
