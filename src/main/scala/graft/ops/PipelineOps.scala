@@ -612,6 +612,80 @@ object PipelineOps {
             .as("zipf_slope"))
     },
 
+    // Exact quota sampling: EXACTLY min(quota, n) documents per stratum,
+    // chosen by deterministic hash order (q128's rate sampling hits the
+    // quota only in expectation — audits and eval sets need exact
+    // counts). One rank window per stratum; emitted as per-stratum
+    // accounting plus an order-independent id checksum so the oracle
+    // pins the exact membership, not just the counts.
+    Q(
+      "q145_quota_sample",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id * 1103515245 + 12345) % 2147483648) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val hk = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), hk.as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= 50, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("rn") <= 50, col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // Quality-weighted acceptance sampling (the DCLM/FineWeb shape):
+    // acceptance probability scales with the document's quality signal —
+    // here the distinct-token fraction — and the accept decision is the
+    // deterministic hash-vs-threshold compare, so the sampled corpus is
+    // reproducible. All map-side except the final decile rollup.
+    Q(
+      "q146_quality_weighted_sample",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS quality,
+        |    ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0
+        |      AS u
+        |  FROM documents),
+        |d AS (
+        |  SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS decile,
+        |    CASE WHEN u < quality THEN 1 ELSE 0 END AS kept
+        |  FROM q)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS accept_rate
+        |FROM d GROUP BY decile
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val quality = size(array_distinct(toks)).cast("double") / size(toks)
+      val u = ((col("doc_id") * 1103515245L + 12345L) % 2147483648L) /
+        lit(2147483648.0)
+      Tables.table(s, dir, "documents")
+        .select(floor(quality * 10).cast("bigint").as("decile"),
+          when(u < quality, 1).otherwise(0).as("kept"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          round(sum(col("kept")).cast("double") / count(lit(1)), 6)
+            .as("accept_rate"))
+        .orderBy(col("decile"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
