@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -13,6 +14,77 @@ import graft.Tables
   * oracle matches bit-for-bit.
   */
 object PipelineOps {
+
+  /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — BM25 (k1=1.2,
+    * b=0.75) for the fixed query {spark, join, stream}. Shared by q147
+    * (lexical top-k) and q148 (hybrid fusion). Per-term scores are
+    * pivoted to columns and added in FIXED textual order so the sum is
+    * not partial-agg order-dependent.
+    */
+  private val bm25Cte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE term IN ('spark', 'join', 'stream')
+      |  GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY doc_id),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |dfq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    COALESCE(MAX(CASE WHEN tf.term = 'join' THEN
+      |      ln(1 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) END), 0)
+      |    + COALESCE(MAX(CASE WHEN tf.term = 'spark' THEN
+      |      ln(1 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) END), 0)
+      |    + COALESCE(MAX(CASE WHEN tf.term = 'stream' THEN
+      |      ln(1 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) END), 0)
+      |    AS bm25
+      |  FROM tf
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN dfq ON tf.term = dfq.term
+      |  CROSS JOIN nn CROSS JOIN ad
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** Spark build of the same `scored(doc_id, bm25)` frame. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "spark", "stream") // fixed addition order
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(col("term").isin("spark", "join", "stream"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nn = Tables.table(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val ad = dl.agg((sum(col("dl")).cast("double") / count(lit(1)))
+      .as("avgdl"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val part = log(lit(1) + (col("n") - col("df") + 0.5)
+        / (col("df") + 0.5)) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+        / col("avgdl")))
+    val bm25 = terms.map { t =>
+      coalesce(max(when(col("term") === t, part)), lit(0.0))
+    }.reduce(_ + _)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(ad))
+      .groupBy(col("doc_id"))
+      .agg(bm25.as("bm25"))
+  }
 
   val queries: Seq[Q] = Seq(
     // Benchmark decontamination: flag eval-split documents whose word
@@ -684,6 +756,76 @@ object PipelineOps {
           round(sum(col("kept")).cast("double") / count(lit(1)), 6)
             .as("accept_rate"))
         .orderBy(col("decile"))
+    },
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the lexical half of a retrieval stack, built from the same
+    // partial-agg tf/df machinery as q113's TF-IDF. Per-term scores are
+    // pivoted to columns and added in FIXED textual order (a SUM over a
+    // shuffled group would be order-dependent in the last ulp); corpus
+    // stats (N, avgdl, df) are 1-row/3-row broadcasts.
+    Q(
+      "q147_bm25_topk",
+      s"""WITH $bm25Cte
+         |SELECT doc_id, ROUND(bm25, 6) AS bm25
+         |FROM scored
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      bm25Scored(s, dir)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 lexical
+    // ranking with the embedding-cosine ranking for probe vector 0 —
+    // the modern two-tower search stack in one query. Both rankings are
+    // global windows over already-aggregated frames (tiny); the fusion is
+    // a full-outer join on the doc id with fixed-order addition of the
+    // two reciprocal terms. At 100 TB each ranking comes from its own
+    // index (inverted / ANN); the fusion cost is O(candidates).
+    Q(
+      "q148_hybrid_rrf",
+      s"""WITH $bm25Cte,
+         |rb AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id) AS r
+         |  FROM scored),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ra AS (
+         |  SELECT vec_id,
+         |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+         |  FROM (SELECT e.vec_id,
+         |          ROUND(${Similarity.duckDot("e.embedding", "qv.qe")}, 6)
+         |            AS cos
+         |        FROM embeddings e, qv WHERE e.vec_id <> 0))
+         |SELECT COALESCE(rb.doc_id, ra.vec_id) AS doc_id,
+         |  ROUND(COALESCE(1.0 / (60 + rb.r), 0)
+         |      + COALESCE(1.0 / (60 + ra.r), 0), 6) AS rrf
+         |FROM rb FULL OUTER JOIN ra ON rb.doc_id = ra.vec_id
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.functions.ArrayDot.register(s)
+      val wb = Window.orderBy(round(col("bm25"), 6).desc, col("doc_id"))
+      val rb = bm25Scored(s, dir)
+        .withColumn("r", row_number().over(wb))
+        .select(col("doc_id"), col("r").as("rb"))
+      val e = Tables.table(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val wa = Window.orderBy(col("cos").desc, col("vec_id"))
+      val ra = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(expr("array_dot(embedding, qe)"), 6).as("cos"))
+        .withColumn("r", row_number().over(wa))
+        .select(col("vec_id"), col("r").as("ra"))
+      rb.join(ra, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     },
 
     // Corpus mix report: the per-(source, language) doc/token shares a
