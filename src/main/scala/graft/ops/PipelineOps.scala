@@ -828,6 +828,106 @@ object PipelineOps {
         .limit(10)
     },
 
+    // Duplicate-passage detection: 8-gram shingles repeated across ≥ 2
+    // documents — the passage-level signal (boilerplate, licenses,
+    // templates) that document-level dedup misses. Per-doc distinct
+    // shingles → one partial-agg group-by on the shingle; at 100 TB the
+    // shingle string becomes its 64-bit hash and the HAVING ≥ 2 filter
+    // runs map-side-combined, so output is only the repeated tail.
+    Q(
+      "q149_duplicate_passages",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 7),
+        |    i -> array_to_string(toks[i+1:i+8], ' ')))) AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 8),
+        |rep AS (
+        |  SELECT ng, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM sh GROUP BY ng HAVING COUNT(*) >= 2)
+        |SELECT ng AS passage, n_docs
+        |FROM rep
+        |ORDER BY n_docs DESC, passage
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 8)))"))).as("ng"))
+        .groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("ng").as("passage"), col("n_docs"))
+        .orderBy(col("n_docs").desc, col("passage"))
+        .limit(10)
+    },
+
+    // The full pre-training corpus pass as ONE declarative plan: raw →
+    // quality gate (type-token ratio + length) → exact dedup (min-doc_id
+    // survivor per content digest) → per-language quota sample —
+    // with doc/token accounting after every stage. Each stage is the
+    // already-proven operator from this module; composing them in one
+    // query is the point: Catalyst sees the whole pipeline and the
+    // intermediate corpora never materialize.
+    Q(
+      "q150_pipeline_composed",
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT * FROM base
+        |  WHERE n_chars >= 100
+        |    AND len(list_distinct(toks)) >= 0.4 * len(toks)),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM s1 GROUP BY md5(text))),
+        |s3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id * 1103515245 + 12345) % 2147483648),
+        |               doc_id) AS rn
+        |    FROM s2)
+        |  WHERE rn <= 50)
+        |SELECT 'p0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM base
+        |UNION ALL
+        |SELECT 'p1_quality', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(len(toks)) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT 'p2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(len(toks)) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 'p3_quota', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(len(toks)) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
+      val s1 = base.filter(col("n_chars") >= 100 &&
+        size(array_distinct(col("toks"))).cast("double")
+          >= lit(0.4) * size(col("toks")))
+      val reps = s1.groupBy(md5(col("text")).as("dg"))
+        .agg(min(col("doc_id")).as("rep_id"))
+        .select(col("rep_id"))
+      val s2 = s1.join(reps, col("doc_id") === col("rep_id"), "left_semi")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("doc_id") * 1103515245L + 12345L) % 2147483648L,
+          col("doc_id"))
+      val s3 = s2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+      def acct(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      acct("p0_raw", base)
+        .unionByName(acct("p1_quality", s1))
+        .unionByName(acct("p2_exact_dedup", s2))
+        .unionByName(acct("p3_quota", s3))
+        .orderBy(col("stage"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
