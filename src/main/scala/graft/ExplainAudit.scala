@@ -31,7 +31,8 @@ object ExplainAudit {
         "q94_tpch_q2_mincost", "q99_tpch_q13_custdist",
         "q104_tpch_q21_last_shipper", "q106_cms_heavy_hitters",
         "q113_tfidf_topterms", "q120_tpch_q9_profit",
-        "q126_decontamination", "q129_sequence_packing")
+        "q126_decontamination", "q129_sequence_packing",
+        "q147_bm25_topk", "q150_pipeline_composed")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, dir)

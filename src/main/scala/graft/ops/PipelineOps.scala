@@ -7,10 +7,13 @@ import graft.Tables
 
 /** Training-data pipeline operators beyond SURVEY.md §2's inventory — the
   * corpus-preparation passes a 100 TB LLM data pipeline runs between raw
-  * ingestion and tokenization: benchmark decontamination, repetition-based
-  * quality signals, deterministic stratified sampling / language
-  * rebalancing, sequence packing, stopword scrubbing, and the corpus mix
-  * report. All arithmetic is integer or DECIMAL-stabilized so the DuckDB
+  * ingestion and tokenization: benchmark decontamination, repetition /
+  * Zipf / PMI corpus analysis, deterministic sampling (stratified, exact
+  * quota, quality-weighted), sequence packing, scrubbing, token pricing,
+  * embedding quantization, incremental dedup, BM25 + hybrid retrieval,
+  * duplicate-passage detection, and the whole pass composed in one plan
+  * (q150). All arithmetic is integer or DECIMAL-stabilized — double
+  * additions happen in fixed (fold or pivot) order — so the DuckDB
   * oracle matches bit-for-bit.
   */
 object PipelineOps {
