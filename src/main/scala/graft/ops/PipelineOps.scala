@@ -931,6 +931,38 @@ object PipelineOps {
         .orderBy(col("stage"))
     },
 
+    // Join-key skew diagnosis: the distribution of per-key group sizes —
+    // the pre-flight probe that decides whether a shuffle join needs
+    // salting (q65) or AQE skew handling BEFORE it runs. One partial-agg
+    // group-by plus a 1-row ordered-set aggregate over the (small) key
+    // histogram; cost is O(distinct keys), never O(rows).
+    Q(
+      "q151_skew_stats",
+      """WITH g AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MIN(n) AS BIGINT) AS min_n,
+        |  CAST(quantile_disc(n, 0.5) AS BIGINT) AS med_n,
+        |  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+        |  CAST(MAX(n) AS BIGINT) AS max_n,
+        |  ROUND(CAST(MAX(n) AS DOUBLE) / quantile_disc(n, 0.5), 6)
+        |    AS skew_ratio
+        |FROM g""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("n")).as("min_n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint").as("med_n"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint").as("p99_n"),
+          max(col("n")).as("max_n"),
+          round(max(col("n")).cast("double")
+            / expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)"), 6)
+            .as("skew_ratio"))
+    },
+
     // Corpus mix report: the per-(source, language) doc/token shares a
     // mixture-weighted training run is configured from. One scan + one
     // aggregate; the corpus-total denominator is a window over the tiny
