@@ -36,7 +36,8 @@ object TpchFull {
       "q94_tpch_q2_mincost",
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
-        |         ROUND(MIN(l_extendedprice / l_quantity), 4) AS cost
+        |         FLOOR(MIN(l_extendedprice / l_quantity) * 10000 + 0.5)
+        |           / 10000 AS cost
         |  FROM lineitem GROUP BY 1, 2
         |), eps AS (
         |  SELECT ps.l_partkey, ps.cost, s.s_name, s.s_acctbal, n.n_name
@@ -68,7 +69,13 @@ object TpchFull {
         .join(broadcast(part.select(col("p_partkey").as("keep_key"))),
           col("l_partkey") === col("keep_key"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
+        // FLOOR(x*1e4 + 0.5)/1e4 instead of ROUND(x, 4): price/quantity
+        // ratios terminate on decimal halves (…21375) where Spark's
+        // exact-BigDecimal ROUND and DuckDB's multiply-round disagree by
+        // one ulp of the 4th digit; the floor form is pure IEEE ops and
+        // bit-identical in both engines (found by the sf0.1 sweep)
+        .agg((floor(min(col("l_extendedprice") / col("l_quantity"))
+          * 10000 + 0.5) / 10000).as("cost"))
       val eps = ps
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
