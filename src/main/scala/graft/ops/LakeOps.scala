@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -96,6 +97,83 @@ object LakeOps {
         .groupBy(col("change"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("change"))
+    },
+
+    // SCD Type-2 dimension build: turn a change stream (each user's
+    // click events carrying a value) into versioned dimension rows with
+    // [valid_from, valid_to) ranges and a current flag — one lead()
+    // window per key, no self-join. At 100 TB this is the incremental
+    // dimension-maintenance pass: partition by key, order by event time,
+    // ties broken by event_id so versioning is deterministic.
+    Q(
+      "q152_scd2_versions",
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, ROUND(value, 6) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND user_id < 10),
+        |ver AS (
+        |  SELECT user_id, v, ts AS valid_from, event_id,
+        |    LEAD(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |                     ORDER BY valid_from, event_id) AS version,
+        |  v, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM ver
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      val ch = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 10)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 6).as("v"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ch.withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
+        .withColumn("version", row_number().over(wOrd))
+        .select(col("user_id"), col("version"), col("v"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // Conversion funnel: of the users who clicked, how many purchased
+    // within 30 minutes of their FIRST click — the attribution rollup
+    // (q115/q142's join, aggregated to rates). Two partial-agg group-bys
+    // + one equi-join on user_id; no row-level fan-out survives to the
+    // output.
+    Q(
+      "q153_conversion_funnel",
+      """WITH fc AS (
+        |  SELECT user_id, MIN(ts) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (
+        |  SELECT fc.user_id,
+        |    MAX(CASE WHEN e.ts >= fc.first_click
+        |             AND e.ts <= fc.first_click + INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM fc LEFT JOIN events e
+        |    ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+        |  GROUP BY fc.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+        |    AS conversion_rate
+        |FROM conv""".stripMargin) { (s, dir) =>
+      val ev = Tables.table(s, dir, "events")
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+      val conv = fc.join(p, col("user_id") === col("pu"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("p_ts") >= col("first_click") &&
+          col("p_ts") <= col("first_click") + expr("INTERVAL 30 MINUTE"),
+          1).otherwise(0)).as("converted"))
+      conv.agg(count(lit(1)).as("n_clickers"),
+        sum(col("converted")).as("n_converted"),
+        round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+          .as("conversion_rate"))
     },
 
     // Positional generator surface: posexplode — the (pos, value) form
