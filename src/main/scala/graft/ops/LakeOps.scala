@@ -13,6 +13,18 @@ import graft.Tables
   */
 object LakeOps {
 
+  /** Morton (Z-order) interleave of two 8-bit keys, written with only
+    * `%` / comparison / addition so the same text is valid Spark SQL and
+    * DuckDB SQL (no dialect-specific bit operators).
+    */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      val lo = 1L << i; val hi = 1L << (i + 1)
+      val bx = 1L << (2 * i); val by = 1L << (2 * i + 1)
+      s"(CASE WHEN $x % $hi >= $lo THEN $bx ELSE 0 END + " +
+        s"CASE WHEN $y % $hi >= $lo THEN $by ELSE 0 END)"
+    }.mkString(" + ")
+
   val queries: Seq[Q] = Seq(
     // MERGE/upsert: target ∪ source with source-wins conflict resolution,
     // expressed as one full-outer join on the key — the shape MERGE INTO
@@ -174,6 +186,63 @@ object LakeOps {
         sum(col("converted")).as("n_converted"),
         round(sum(col("converted")).cast("double") / count(lit(1)), 6)
           .as("conversion_rate"))
+    },
+
+    // Z-order layout quality: bucket lineitem 16 ways by the Morton
+    // interleave of (l_partkey%256, l_suppkey%256) vs 16 ways by natural
+    // l_orderkey ranges, and report each bucket's (x, y) bounding box.
+    // Z-order buckets cover ~1/16 of the key plane each (bbox_area ~4k);
+    // natural buckets span the whole plane (~65k) — exactly why a
+    // Z-ordered table prunes file-level min/max stats on BOTH join keys
+    // while a naturally-ordered one prunes neither. This is the layout
+    // pass a 100 TB table gets before heavy multi-key scan workloads;
+    // clustering = sort by the morton key, stats come free at write time.
+    Q(
+      "q155_zorder_layout", {
+        val m = mortonSql("x", "y")
+        s"""WITH base AS (
+           |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_orderkey
+           |  FROM lineitem),
+           |mx AS (SELECT MAX(l_orderkey) AS maxk FROM base),
+           |z AS (
+           |  SELECT 'zorder' AS layout,
+           |    CAST(FLOOR(CAST($m AS DOUBLE) / 4096) AS INT) AS bucket, x, y
+           |  FROM base),
+           |nat AS (
+           |  SELECT 'natural' AS layout,
+           |    CAST(FLOOR(CAST(l_orderkey AS DOUBLE) * 16 / (maxk + 1))
+           |      AS INT) AS bucket, x, y
+           |  FROM base CROSS JOIN mx),
+           |u AS (SELECT * FROM z UNION ALL SELECT * FROM nat)
+           |SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  MIN(x) AS x_min, MAX(x) AS x_max,
+           |  MIN(y) AS y_min, MAX(y) AS y_max,
+           |  CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+           |    AS bbox_area
+           |FROM u GROUP BY layout, bucket
+           |ORDER BY layout, bucket""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables.table(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"), col("l_orderkey"))
+      val mx = base.agg(max(col("l_orderkey")).as("maxk"))
+      val z = base.select(lit("zorder").as("layout"),
+        expr(s"CAST(FLOOR(CAST(${mortonSql("x", "y")} AS DOUBLE) / 4096) " +
+          "AS INT)").as("bucket"),
+        col("x"), col("y"))
+      val nat = base.crossJoin(broadcast(mx)).select(
+        lit("natural").as("layout"),
+        expr("CAST(FLOOR(CAST(l_orderkey AS DOUBLE) * 16 / (maxk + 1)) " +
+          "AS INT)").as("bucket"),
+        col("x"), col("y"))
+      z.union(nat)
+        .groupBy(col("layout"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          ((max(col("x")) - min(col("x")) + 1) *
+            (max(col("y")) - min(col("y")) + 1)).cast("long").as("bbox_area"))
+        .orderBy(col("layout"), col("bucket"))
     },
 
     // Positional generator surface: posexplode — the (pos, value) form
