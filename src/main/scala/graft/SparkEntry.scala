@@ -19,7 +19,8 @@ object SparkEntry {
       Sinks.queries ++ Extras.queries ++ Ivf.queries ++ TpchMore.queries ++
       FinalOps.queries ++ TpchFull.queries ++ FrontierOps.queries ++
       DepthOps.queries ++ StreamMore.queries ++ QualityOps.queries ++
-      PipelineOps.queries ++ LakeOps.queries ++ BehaviorOps.queries
+      PipelineOps.queries ++ LakeOps.queries ++ BehaviorOps.queries ++
+      CorpusOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
