@@ -297,5 +297,57 @@ object Similarity {
           hits.as("n_hits"),
           round(hits.cast("double") / 10, 6).as("recall10"))
         .orderBy(col("query_id"))
+    },
+
+    // Late-interaction (ColBERT-style) max-sim retrieval: each 64-dim
+    // vector is treated as 4 x 16-dim sub-vectors (a multi-vector record
+    // in miniature); score(q, d) = sum over query sub-vectors of the MAX
+    // dot product against any doc sub-vector. All 16 sub-dots are
+    // sequential folds (bit-identical across engines), the 4 maxes are
+    // GREATEST, and the final sum is a FIXED-ORDER addition chain — never
+    // a grouped SUM of doubles. Scale shape: this full scan is the
+    // correctness baseline; production prefilters candidates per
+    // sub-vector with q52's signature join (any sub-vector match recalls
+    // the pair), then re-ranks exactly — the same two-tier pattern as
+    // q140.
+    Q(
+      "q159_maxsim_multivector", {
+        def sub(qs: Int, ds: Int): String =
+          s"list_reduce(list_transform(range(16), i -> " +
+            s"CAST(e.embedding[${ds * 16} + i + 1] AS DOUBLE) * " +
+            s"CAST(q.qe[${qs * 16} + i + 1] AS DOUBLE)), (x, y) -> x + y)"
+        val ms = (0 until 4).map { qs =>
+          s"GREATEST(${(0 until 4).map(ds => sub(qs, ds)).mkString(", ")}) " +
+            s"AS m$qs"
+        }.mkString(",\n    ")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+           |  WHERE vec_id = 7),
+           |s AS (
+           |  SELECT e.vec_id,
+           |    $ms
+           |  FROM embeddings e, q WHERE e.vec_id <> 7)
+           |SELECT vec_id, ROUND(((m0 + m1) + m2) + m3, 6) AS maxsim
+           |FROM s
+           |ORDER BY maxsim DESC, vec_id
+           |LIMIT 8""".stripMargin
+      }) { (s, dir) =>
+      def sub(qs: Int, ds: Int): String =
+        s"aggregate(zip_with(slice(embedding, ${ds * 16 + 1}, 16), " +
+          s"slice(qe, ${qs * 16 + 1}, 16), " +
+          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val e = Tables.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
+      val withMax = (0 until 4).foldLeft(
+        e.filter(col("vec_id") =!= 7).crossJoin(broadcast(q))) { (d, qs) =>
+        d.withColumn(s"m$qs",
+          greatest((0 until 4).map(ds => expr(sub(qs, ds))): _*))
+      }
+      withMax
+        .select(col("vec_id"),
+          round(((col("m0") + col("m1")) + col("m2")) + col("m3"), 6)
+            .as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id"))
+        .limit(8)
     })
 }
