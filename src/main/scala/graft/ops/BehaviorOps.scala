@@ -160,5 +160,110 @@ object BehaviorOps {
           col("n_triangles"),
           round(col("n_triangles").cast("double") /
             nullif(col("n_wedges"), lit(0)), 6).as("closure_rate"))
+    },
+
+    // Association rules over the same co-purchase baskets: for every
+    // directed pair with co-occurrence support >= 2, confidence =
+    // c(x,y)/c(x) and lift = c(x,y)*N / (c(x)*c(y)); top-10 by lift.
+    // Counts are exact BIGINTs (products stay far under 2^53), each
+    // ratio is a single double division — deterministic without DECIMAL.
+    // Scale shape: the classic a-priori cascade — item counts and pair
+    // counts are two partial-agg GROUP BYs, the rule join broadcasts the
+    // (tiny) item-count table; nothing ever materializes the unsupported
+    // pair space.
+    Q(
+      "q160_association_rules",
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        |      FROM baskets),
+        |items AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS ci
+        |  FROM baskets GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT x AS antecedent, y AS consequent, cxy FROM pairs
+        |  UNION ALL
+        |  SELECT y AS antecedent, x AS consequent, cxy FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.cxy AS support,
+        |  ROUND(CAST(r.cxy AS DOUBLE) / ia.ci, 6) AS confidence,
+        |  ROUND(CAST(r.cxy * n.n_orders AS DOUBLE) / (ia.ci * ic.ci), 6)
+        |    AS lift
+        |FROM rules r
+        |JOIN items ia ON ia.item = r.antecedent
+        |JOIN items ic ON ic.item = r.consequent
+        |CROSS JOIN n
+        |ORDER BY lift DESC, antecedent, consequent
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val baskets = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val n = baskets.agg(count_distinct(col("ok")).as("n_orders"))
+      val items = baskets.groupBy(col("item")).agg(count(lit(1)).as("ci"))
+      val b2 = baskets.select(col("ok").as("ok2"), col("item").as("item2"))
+      val pairs = baskets.join(b2,
+          col("ok") === col("ok2") && col("item") < col("item2"))
+        .groupBy(col("item").as("x"), col("item2").as("y"))
+        .agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 2)
+      val rules = pairs.select(col("x").as("antecedent"),
+          col("y").as("consequent"), col("cxy"))
+        .union(pairs.select(col("y").as("antecedent"),
+          col("x").as("consequent"), col("cxy")))
+      rules
+        .join(broadcast(items.select(col("item").as("ia"), col("ci").as("ca"))),
+          col("ia") === col("antecedent"))
+        .join(broadcast(items.select(col("item").as("ic"), col("ci").as("cc"))),
+          col("ic") === col("consequent"))
+        .crossJoin(broadcast(n))
+        .select(col("antecedent"), col("consequent"),
+          col("cxy").as("support"),
+          round(col("cxy").cast("double") / col("ca"), 6).as("confidence"),
+          round((col("cxy") * col("n_orders")).cast("double") /
+            (col("ca") * col("cc")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        .limit(10)
+    },
+
+    // First-order Markov transition matrix over each user's event-type
+    // sequence: LAG gives the previous type (one window pass on the
+    // user_id shuffle), exact transition counts, and the row-normalized
+    // probability is count / window-SUM of counts — an integer-exact
+    // numerator and denominator, one rounded division.
+    Q(
+      "q161_event_transitions",
+      """WITH seq AS (
+        |  SELECT event_type AS next_t,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_t, next_t, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_t IS NOT NULL
+        |  GROUP BY prev_t, next_t)
+        |SELECT prev_t, next_t, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY prev_t), 6) AS p
+        |FROM c
+        |ORDER BY prev_t, next_t""".stripMargin) { (s, dir) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRow = Window.partitionBy(col("prev_t"))
+      Tables.table(s, dir, "events")
+        .select(col("event_type").as("next_t"),
+          lag(col("event_type"), 1).over(wSeq).as("prev_t"))
+        .filter(col("prev_t").isNotNull)
+        .groupBy(col("prev_t"), col("next_t"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_t"), col("next_t"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wRow), 6)
+            .as("p"))
+        .orderBy(col("prev_t"), col("next_t"))
     })
 }

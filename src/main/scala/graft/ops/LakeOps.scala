@@ -245,6 +245,34 @@ object LakeOps {
         .orderBy(col("layout"), col("bucket"))
     },
 
+    // Incremental aggregate maintenance (materialized-view algebra): the
+    // already-materialized 90% of events and the 10% delta are aggregated
+    // SEPARATELY to partials (n, DECIMAL sum), then merged by summing the
+    // partials — never re-reading the base data. DECIMAL partials make
+    // merge(base, delta) == full recompute EXACTLY, which is the whole
+    // contract of incremental view maintenance; the oracle IS the full
+    // recompute. At 100 TB this is the difference between touching the
+    // delta and touching the lake.
+    Q(
+      "q162_incremental_agg",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.table(s, dir, "events")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,6)")).as("pv"))
+      val base = partial(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = partial(ev.filter(col("event_id") % 10 === 0))
+      base.union(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
     // Positional generator surface: posexplode — the (pos, value) form
     // every token-position feature (positional n-grams, truncation,
     // attention-window slicing) builds on. Generate doesn't collapse into
