@@ -32,7 +32,9 @@ object ExplainAudit {
         "q104_tpch_q21_last_shipper", "q106_cms_heavy_hitters",
         "q113_tfidf_topterms", "q120_tpch_q9_profit",
         "q126_decontamination", "q129_sequence_packing",
-        "q147_bm25_topk", "q150_pipeline_composed")
+        "q147_bm25_topk", "q150_pipeline_composed",
+        "q155_zorder_layout", "q156_bigram_lm_score",
+        "q158_triangle_count", "q160_association_rules")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, dir)

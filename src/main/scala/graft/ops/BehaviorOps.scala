@@ -120,12 +120,16 @@ object BehaviorOps {
         .select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
       val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+      // the stats branches below (nodes/edges/wedges/triangles) each walk
+      // the full lineage; eager-checkpoint the ~4k-row thresholded edge
+      // list so the lineitem self-join + support GROUP BY runs ONCE
       val pairs = a.join(b, col("l_orderkey") === col("ok2") &&
           col("u") < col("v"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("u"), col("v"))
+        .localCheckpoint(true)
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
