@@ -244,5 +244,42 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("p_brand").asc)
         .limit(5)
+    },
+
+    // Argmax aggregation surface: per nation, the supplier holding the
+    // max/min account balance via max_by/min_by with a STRUCT ordering
+    // key — (s_acctbal, s_suppkey) makes double-balance ties
+    // deterministic. One partial-aggregable pass instead of a rank
+    // window + filter (no per-group sort, no second shuffle). DuckDB's
+    // arg_max can't take a composite key, so the oracle states the same
+    // semantics with rank-1 windows.
+    Q(
+      "q164_argmax_surface",
+      """WITH s AS (
+        |  SELECT n.n_name, su.s_name, su.s_acctbal, su.s_suppkey,
+        |    ROW_NUMBER() OVER (PARTITION BY n.n_name
+        |      ORDER BY su.s_acctbal DESC, su.s_suppkey DESC) AS rhi,
+        |    ROW_NUMBER() OVER (PARTITION BY n.n_name
+        |      ORDER BY su.s_acctbal ASC, su.s_suppkey ASC) AS rlo
+        |  FROM supplier su JOIN nation n ON n.n_nationkey = su.s_nationkey)
+        |SELECT n_name,
+        |  MAX(CASE WHEN rhi = 1 THEN s_name END) AS top_supplier,
+        |  MAX(CASE WHEN rhi = 1 THEN s_acctbal END) AS top_bal,
+        |  MAX(CASE WHEN rlo = 1 THEN s_name END) AS bottom_supplier,
+        |  MAX(CASE WHEN rlo = 1 THEN s_acctbal END) AS bottom_bal
+        |FROM s GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val su = Tables.table(s, dir, "supplier")
+      val n = Tables.table(s, dir, "nation")
+      su.join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max_by(col("s_name"), struct(col("s_acctbal"), col("s_suppkey")))
+            .as("top_supplier"),
+          max(col("s_acctbal")).as("top_bal"),
+          min_by(col("s_name"), struct(col("s_acctbal"), col("s_suppkey")))
+            .as("bottom_supplier"),
+          min(col("s_acctbal")).as("bottom_bal"))
+        .orderBy(col("n_name"))
     })
 }

@@ -269,5 +269,91 @@ object BehaviorOps {
           round(col("n").cast("double") / sum(col("n")).over(wRow), 6)
             .as("p"))
         .orderBy(col("prev_t"), col("next_t"))
+    },
+
+    // Time-series gap filling with linear interpolation: each user's
+    // daily value series is re-gridded onto a per-user day spine
+    // (sequence between that user's min/max day); missing days take
+    // prev + (next - prev) * gap-fraction from IGNORE-NULLS window
+    // lookups. One spine join + two window passes, all partitioned by
+    // the series key — at 100 TB each series interpolates independently
+    // inside its partition, no cross-key traffic. Daily sums go through
+    // DECIMAL; the lerp is pure double arithmetic on exact inputs,
+    // rounded once at the end.
+    Q(
+      "q163_gap_fill_interpolate",
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id IN (3, 4)
+        |  GROUP BY user_id, date_trunc('day', ts)),
+        |bounds AS (
+        |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS d
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.d, daily.v
+        |  FROM spine s LEFT JOIN daily
+        |    ON daily.user_id = s.user_id AND daily.d = s.d),
+        |w AS (
+        |  SELECT user_id, d, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d,
+        |  CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'filled' END AS src,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (epoch(d) - epoch(pd))
+        |                                 / (epoch(nd) - epoch(pd)) END, 6)
+        |    AS value
+        |FROM w ORDER BY user_id, d""".stripMargin) { (s, dir) =>
+      val daily = Tables.table(s, dir, "events")
+        .filter(col("user_id").isin(3, 4))
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      val bounds = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val spine = bounds.select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val j = spine.join(
+        daily.select(col("user_id").as("du"), col("d").as("dd"), col("v")),
+        col("du") === col("user_id") && col("dd") === col("d"), "left")
+        .select(col("user_id"), col("d"), col("v"))
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val (pv, nv) = (last(col("v"), ignoreNulls = true).over(wp),
+        first(col("v"), ignoreNulls = true).over(wn))
+      val pd = last(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+        .over(wp)
+      val nd = first(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+        .over(wn)
+      j.select(col("user_id"), col("d"), col("v"),
+          pv.as("pv"), pd.as("pd"), nv.as("nv"), nd.as("nd"))
+        .select(col("user_id"), col("d"),
+          when(col("v").isNotNull, "actual").otherwise("filled").as("src"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("d").cast("double") - col("pd").cast("double")) /
+                (col("nd").cast("double") - col("pd").cast("double"))), 6)
+            .as("value"))
+        .orderBy(col("user_id"), col("d"))
     })
 }

@@ -122,5 +122,39 @@ object CorpusOps {
           element_at(col("toks"), (col("st") + col("n_toks")).cast("int"))
             .as("last_tok"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // each doc draws u from a deterministic integer LCG (the house
+    // substitute for rand() — reproducible across engines, runs, and
+    // partition layouts) and gets key -ln(u)/w; the k smallest keys ARE
+    // a weighted sample without replacement. Scale shape: one map pass +
+    // TakeOrderedAndProject top-k — per-partition heaps, no global sort,
+    // no sequential reservoir. The +1 offset keeps u > 0; keys are
+    // ranked on their ROUNDED value (6 dp) with doc_id tie-break so
+    // cross-engine ln() last-ulp noise can't flip the order.
+    Q(
+      "q165_weighted_sample_aes",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS w,
+        |    (((doc_id * 1103515245 + 12345) % 2147483648) + 1)
+        |      / 2147483649.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, ROUND(w, 6) AS weight,
+        |  ROUND(-LN(u) / w, 6) AS expkey
+        |FROM q
+        |ORDER BY expkey ASC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val w = size(array_distinct(toks)).cast("double") / size(toks)
+      val u = (((col("doc_id") * 1103515245L + 12345L) % 2147483648L) + 1L) /
+        lit(2147483649.0)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), round(w, 6).as("weight"),
+          round(-log(u) / w, 6).as("expkey"))
+        .orderBy(col("expkey").asc, col("doc_id"))
+        .limit(10)
     })
 }
