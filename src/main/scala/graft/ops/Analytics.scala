@@ -281,5 +281,38 @@ object Analytics {
             .as("bottom_supplier"),
           min(col("s_acctbal")).as("bottom_bal"))
         .orderBy(col("n_name"))
+    },
+
+    // E1 RANGE frames over event TIME (q19 covers ROWS frames): per user,
+    // the trailing-1-hour event count and value sum — the frame bound is
+    // a 3600-second range over the epoch-second ordering, so peers at the
+    // same second share one frame in both engines. The windowed SUM runs
+    // over DECIMAL (exact, order-free); one shuffle on user_id.
+    Q(
+      "q168_time_range_rolling",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(18,6)) AS dv
+        |  FROM events WHERE user_id < 6)
+        |SELECT user_id, event_id, es,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(dv) OVER w AS DOUBLE) AS v_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, es, event_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3600L, 0L)
+      Tables.table(s, dir, "events")
+        .filter(col("user_id") < 6)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"),
+          col("value").cast("decimal(18,6)").as("dv"))
+        .select(col("user_id"), col("event_id"), col("es"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("dv")).over(w).cast("double").as("v_last_hour"))
+        .orderBy(col("user_id"), col("es"), col("event_id"))
     })
 }

@@ -271,6 +271,60 @@ object BehaviorOps {
         .orderBy(col("prev_t"), col("next_t"))
     },
 
+    // Chi-square independence test on the event_type × hour-of-day
+    // contingency table: observed counts are one partial-agg GROUP BY;
+    // row/column totals re-aggregate those cells (never the raw events);
+    // expected = r*c/N with exact BIGINT products. Per-cell contributions
+    // are rounded then summed as DECIMAL — the usual defense against
+    // partial-agg double ordering. Everything after the first GROUP BY is
+    // O(cells), not O(rows).
+    Q(
+      "q166_chi_square",
+      """WITH cells AS (
+        |  SELECT event_type AS et, hour(ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY event_type, hour(ts)),
+        |rt AS (SELECT et, CAST(SUM(obs) AS BIGINT) AS r
+        |       FROM cells GROUP BY et),
+        |ct AS (SELECT h, CAST(SUM(obs) AS BIGINT) AS c
+        |       FROM cells GROUP BY h),
+        |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM cells),
+        |contrib AS (
+        |  SELECT (obs - CAST(r * c AS DOUBLE) / nn) AS d,
+        |    CAST(r * c AS DOUBLE) / nn AS e
+        |  FROM cells JOIN rt USING (et) JOIN ct USING (h) CROSS JOIN n),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(CAST(ROUND(d * d / e, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS chi2
+        |  FROM contrib)
+        |SELECT n_cells,
+        |  (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rt) *
+        |  (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ct) AS dof,
+        |  chi2
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val cells = Tables.table(s, dir, "events")
+        .groupBy(col("event_type").as("et"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("et")).agg(sum(col("obs")).as("r"))
+      val ct = cells.groupBy(col("h").as("h2")).agg(sum(col("obs")).as("c"))
+      val n = cells.agg(sum(col("obs")).as("nn"))
+      val e = (col("r") * col("c")).cast("double") / col("nn")
+      val d = col("obs") - e
+      val agg = cells
+        .join(broadcast(rt), Seq("et"))
+        .join(broadcast(ct), col("h2") === col("h"))
+        .crossJoin(broadcast(n))
+        .select(round(d * d / e, 6).cast("decimal(18,6)").as("x"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("x")).cast("double").as("chi2"))
+      val dof = rt.agg((count(lit(1)) - 1).as("rm1"))
+        .crossJoin(ct.agg((count(lit(1)) - 1).as("cm1")))
+        .select((col("rm1") * col("cm1")).as("dof"))
+      agg.crossJoin(broadcast(dof))
+        .select(col("n_cells"), col("dof"), col("chi2"))
+    },
+
     // Time-series gap filling with linear interpolation: each user's
     // daily value series is re-gridded onto a per-user day spine
     // (sequence between that user's min/max day); missing days take

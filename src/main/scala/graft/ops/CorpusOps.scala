@@ -156,5 +156,46 @@ object CorpusOps {
           round(-log(u) / w, 6).as("expkey"))
         .orderBy(col("expkey").asc, col("doc_id"))
         .limit(10)
+    },
+
+    // Fuzzy entity matching (blocked edit-distance join): every distinct
+    // part name gets a deterministic one-character-deletion typo; typos
+    // are matched back to the clean catalog by levenshtein <= 1, but ONLY
+    // within blocks sharing the stable second token. Blocking is THE
+    // scale move in entity resolution — the edit-distance verify runs per
+    // block (equi-join on the blocking key), never all-pairs; at 100 TB
+    // the blocking key is a phonetic/token signature and the clean
+    // catalog side broadcasts.
+    Q(
+      "q167_fuzzy_entity_match",
+      """WITH clean AS (SELECT DISTINCT p_name FROM part),
+        |dirty AS (
+        |  SELECT p_name AS orig,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS typo,
+        |    split_part(p_name, ' ', 2) AS blk
+        |  FROM clean),
+        |cand AS (
+        |  SELECT d.typo, d.orig, c.p_name AS matched,
+        |    CAST(levenshtein(d.typo, c.p_name) AS BIGINT) AS dist
+        |  FROM dirty d JOIN clean c ON split_part(c.p_name, ' ', 2) = d.blk)
+        |SELECT typo, matched, dist, matched = orig AS is_true_match
+        |FROM cand WHERE dist <= 1
+        |ORDER BY typo, matched""".stripMargin) { (s, dir) =>
+      val clean = Tables.table(s, dir, "part")
+        .select(col("p_name")).distinct()
+      val dirty = clean.select(col("p_name").as("orig"),
+        concat(substring(col("p_name"), 1, 2),
+          expr("substr(p_name, 4)")).as("typo"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("blk"))
+      val cand = dirty.join(
+        clean.select(col("p_name").as("matched"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("cblk")),
+        col("cblk") === col("blk"))
+        .select(col("typo"), col("orig"), col("matched"),
+          levenshtein(col("typo"), col("matched")).cast("long").as("dist"))
+      cand.filter(col("dist") <= 1)
+        .select(col("typo"), col("matched"), col("dist"),
+          (col("matched") === col("orig")).as("is_true_match"))
+        .orderBy(col("typo"), col("matched"))
     })
 }
