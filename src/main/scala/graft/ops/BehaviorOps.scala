@@ -325,6 +325,88 @@ object BehaviorOps {
         .select(col("n_cells"), col("dof"), col("chi2"))
     },
 
+    // Cohort retention triangle: cohort = week of each user's first
+    // event; cell (cohort_week, week_offset) counts distinct users active
+    // that many weeks later. Two partial aggregations (first-event per
+    // user, distinct user-weeks) and one equi-join on user_id — the whole
+    // triangle is O(users × active-weeks), never O(events²). Week math is
+    // FLOOR over epoch seconds of week-truncated stamps (exact multiples
+    // of 604800 in UTC; both engines anchor Monday).
+    Q(
+      "q169_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |  FROM events),
+        |j AS (
+        |  SELECT f.cw,
+        |    CAST(FLOOR((epoch(a.aw) - epoch(f.cw)) / 604800) AS BIGINT)
+        |      AS week_offset,
+        |    a.user_id
+        |  FROM a JOIN f ON a.user_id = f.user_id)
+        |SELECT cw AS cohort_week, week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY cw, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables.table(s, dir, "events")
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val a = ev.select(col("user_id").as("au"),
+        date_trunc("week", col("ts")).as("aw")).distinct()
+      a.join(f, col("au") === col("user_id"))
+        .select(col("cw"),
+          floor((col("aw").cast("double") - col("cw").cast("double")) /
+            604800).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Strictly-ordered 3-step funnel (signup → later click → later
+    // purchase): each stage is a MIN-timestamp aggregate of the previous
+    // stage's survivors — two equi-joins on user_id, partial aggs, no
+    // event-level fan-out in the output. The strict ts ordering is the
+    // part naive funnel counts get wrong (a purchase before the click
+    // must not count).
+    Q(
+      "q170_funnel_ordered",
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after"""
+        .stripMargin) { (s, dir) =>
+      val ev = Tables.table(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("u2"), col("ts"))
+        .join(s1, col("u2") === col("user_id") && col("ts") > col("t1"))
+        .groupBy(col("u2")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u3"), col("ts"))
+        .join(s2, col("u3") === col("u2") && col("ts") > col("t2"))
+        .groupBy(col("u3")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    },
+
     // Time-series gap filling with linear interpolation: each user's
     // daily value series is re-gridded onto a per-user day spine
     // (sequence between that user's min/max day); missing days take
