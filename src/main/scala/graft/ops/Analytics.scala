@@ -314,5 +314,77 @@ object Analytics {
           count(lit(1)).over(w).as("n_last_hour"),
           sum(col("dv")).over(w).cast("double").as("v_last_hour"))
         .orderBy(col("user_id"), col("es"), col("event_id"))
+    },
+
+    // 2D skyline (Pareto frontier, minimize price AND size): the naive
+    // form is a quadratic self-anti-join; in 2D it collapses to ONE
+    // window pass — a part is on the frontier iff no strictly-cheaper
+    // part has size <= its own (running MIN over a RANGE frame) and it
+    // holds the min size within its price tie-group. O(n log n) sort
+    // instead of O(n²) pairs; price is decimal-rescaled to an exact
+    // BIGINT so the RANGE frame and tie groups agree across engines.
+    Q(
+      "q172_skyline",
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice * 10, 0) AS BIGINT) AS price10,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, price10, sz,
+        |    MIN(sz) OVER (ORDER BY price10
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_cheaper,
+        |    MIN(sz) OVER (PARTITION BY price10) AS best_tie
+        |  FROM p)
+        |SELECT p_partkey, ROUND(price10 / 10.0, 1) AS price, sz AS size
+        |FROM w
+        |WHERE (best_cheaper IS NULL OR sz < best_cheaper)
+        |  AND sz = best_tie
+        |ORDER BY price10, p_partkey""".stripMargin) { (s, dir) =>
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("price10"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("price10"))
+      Tables.table(s, dir, "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 10, 0).cast("long").as("price10"),
+          col("p_size").cast("long").as("sz"))
+        .withColumn("best_cheaper", min(col("sz")).over(wr))
+        .withColumn("best_tie", min(col("sz")).over(wt))
+        .filter((col("best_cheaper").isNull ||
+          col("sz") < col("best_cheaper")) && col("sz") === col("best_tie"))
+        .select(col("p_partkey"), round(col("price10") / 10.0, 1).as("price"),
+          col("sz").as("size"), col("price10"))
+        .orderBy(col("price10"), col("p_partkey"))
+        .drop("price10")
+    },
+
+    // Null-preserving generator surface (explode_outer): rows whose
+    // array is empty must SURVIVE the flatten with a NULL element — the
+    // difference between "document had no sections" disappearing from a
+    // report vs showing as an explicit gap. Oracle shape: LEFT JOIN
+    // LATERAL unnest.
+    Q(
+      "q173_generator_outer",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN []
+        |         ELSE string_split(text, ' ')[1:2] END AS toks
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, u.tok
+        |FROM t LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) u ON TRUE
+        |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            array().cast("array<string>"))
+            .otherwise(expr("slice(split(text, ' '), 1, 2)"))
+            .as("toks"))
+        .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))
     })
 }
