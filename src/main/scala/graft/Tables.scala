@@ -16,12 +16,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // session identity -> currently-registered dir. Temp views are
-  // session-GLOBAL, so a plain (session, dir) seen-set would skip
-  // re-registration after another dir re-pointed the views and silently
-  // serve the wrong data; tracking the current dir re-registers on change.
-  private val registered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // session -> currently-registered dir. Temp views are session-GLOBAL,
+  // so a plain (session, dir) seen-set would skip re-registration after
+  // another dir re-pointed the views and silently serve the wrong data;
+  // tracking the current dir re-registers on change. Weak identity keys
+  // (SparkSession doesn't override equals) rather than identityHashCode:
+  // identity hashes are not unique, so two live sessions — or a GC'd one
+  // reincarnated at the same hash — could collide and skip registration.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     readNormalized(spark, s"$dir/$name.parquet")
@@ -48,12 +51,11 @@ object Tables {
     * is requested).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       names.foreach { n =>
         load(spark, dir, n).createOrReplaceTempView(n)
       }
-      registered.put(key, dir) // only after full success
+      registered.put(spark, dir) // only after full success
     }
   }
 

@@ -58,13 +58,19 @@ object Cli {
             // its own name, so sql/ask can also join the siblings)
             try {
               val f = new java.io.File(p)
-              // a directory with any per-table *.parquet entries is always
+              // a directory of named per-table *.parquet entries is
               // registered file-by-file — reading a heterogeneous dir as
               // ONE table would schema-merge garbage, and a typo'd --table
-              // should surface as MissingTable, not a merge error
+              // should surface as MissingTable, not a merge error. But a
+              // dir whose parquet entries are Spark/Hive part-files
+              // (part-00000-*.snappy.parquet) is ONE dataset: registering
+              // views named after part-files would make the requested
+              // --table unresolvable, so that shape falls through to the
+              // whole-directory read below.
               val perTable = Option(f.listFiles()).map(_.toSeq)
                 .getOrElse(Seq.empty)
                 .filter(_.getName.endsWith(".parquet"))
+                .filterNot(_.getName.matches("part-.*"))
               if (f.isDirectory && perTable.nonEmpty) {
                 perTable.foreach { t =>
                   graft.Tables.readNormalized(spark, t.getPath)

@@ -317,12 +317,24 @@ object Analytics {
     },
 
     // 2D skyline (Pareto frontier, minimize price AND size): the naive
-    // form is a quadratic self-anti-join; in 2D it collapses to ONE
-    // window pass — a part is on the frontier iff no strictly-cheaper
-    // part has size <= its own (running MIN over a RANGE frame) and it
-    // holds the min size within its price tie-group. O(n log n) sort
-    // instead of O(n²) pairs; price is decimal-rescaled to an exact
-    // BIGINT so the RANGE frame and tie groups agree across engines.
+    // form is a quadratic self-anti-join; in 2D it collapses to a
+    // running MIN over the price order. A GLOBAL window is the textbook
+    // formulation (the oracle keeps it) but in Spark an unpartitioned
+    // window is an Exchange SinglePartition — the whole table sorts in
+    // ONE task. So the Spark side is the TWO-PHASE distributed skyline:
+    //   1. bucket the price axis (fixed width ⇒ constant bucket count
+    //      at any SF), per-bucket running min via a PARTITIONED window;
+    //   2. cross-bucket dominance via a per-bucket min table — tiny
+    //      (≤ ~#buckets rows), prefix-min'd by a broadcast self-join
+    //      (no window ⇒ no single-partition exchange anywhere), then
+    //      broadcast back onto the rows.
+    // A part is strictly dominated by a cheaper one iff that part is in
+    // the same bucket (phase-1 window sees it: within a bucket, lower
+    // price10 ⇔ RANGE 1 PRECEDING) or a strictly lower bucket (phase-2
+    // prefix min sees it: every price there is strictly cheaper). Price
+    // is decimal-rescaled to an exact BIGINT so frames and tie groups
+    // agree across engines. PlanAuditSpec asserts the no-SinglePartition
+    // property stays true.
     Q(
       "q172_skyline",
       """WITH p AS (
@@ -342,18 +354,32 @@ object Analytics {
         |WHERE (best_cheaper IS NULL OR sz < best_cheaper)
         |  AND sz = best_tie
         |ORDER BY price10, p_partkey""".stripMargin) { (s, dir) =>
-      val wr = org.apache.spark.sql.expressions.Window
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bkt"))
         .orderBy(col("price10"))
         .rangeBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, -1)
       val wt = org.apache.spark.sql.expressions.Window
         .partitionBy(col("price10"))
-      Tables.table(s, dir, "part")
+      val p = Tables.table(s, dir, "part")
         .select(col("p_partkey"),
           round(col("p_retailprice") * 10, 0).cast("long").as("price10"),
           col("p_size").cast("long").as("sz"))
-        .withColumn("best_cheaper", min(col("sz")).over(wr))
+        .withColumn("bkt", expr("price10 div 100"))
+      // per-bucket min, then prefix-min over strictly-lower buckets via
+      // a broadcast non-equi self-join (bucket count is bounded by the
+      // price domain / width, independent of row count)
+      val bm = p.groupBy(col("bkt")).agg(min(col("sz")).as("bmin"))
+      val prior = bm.join(
+          broadcast(bm.select(col("bkt").as("bk2"), col("bmin").as("bm2"))),
+          col("bk2") < col("bkt"), "left")
+        .groupBy(col("bkt")).agg(min(col("bm2")).as("prior_min"))
+      p.withColumn("local_cheaper", min(col("sz")).over(wb))
         .withColumn("best_tie", min(col("sz")).over(wt))
+        .join(broadcast(prior), Seq("bkt"))
+        // least() skips NULLs: min over whichever phases saw a cheaper part
+        .withColumn("best_cheaper",
+          least(col("local_cheaper"), col("prior_min")))
         .filter((col("best_cheaper").isNull ||
           col("sz") < col("best_cheaper")) && col("sz") === col("best_tie"))
         .select(col("p_partkey"), round(col("price10") / 10.0, 1).as("price"),

@@ -76,8 +76,11 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(length(text) AS DOUBLE) AS n_cp,
-        |  CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS cp_first,
-        |  CAST(unicode(substr(text, length(text), 1)) AS DOUBLE) AS cp_last,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(unicode(substr(text, 1, 1)) AS DOUBLE) END AS cp_first,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(unicode(substr(text, length(text), 1)) AS DOUBLE)
+        |    END AS cp_last,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(text, ''),
         |      c -> CAST(unicode(c) AS BIGINT))),

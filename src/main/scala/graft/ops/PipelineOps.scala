@@ -310,8 +310,8 @@ object PipelineOps {
       "q132_embedding_quantize",
       """WITH q AS (
         |  SELECT vec_id, label, embedding,
-        |    list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS qscale
+        |    NULLIF(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127, 0) AS qscale
         |  FROM embeddings),
         |qq AS (
         |  SELECT vec_id, label, qscale, embedding,
@@ -343,8 +343,11 @@ object PipelineOps {
         s"aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE), " +
           s"(acc, i) -> acc + ($body))"
       Tables.table(s, dir, "embeddings")
+        // nullif: an all-zero vector gives qscale=0, where Spark's Divide
+        // returns NULL but DuckDB's IEEE float division gives inf/NaN —
+        // NULL-ing the scale makes both engines agree on degenerate rows
         .withColumn("qscale", expr(
-          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+          "nullif(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127, 0D)"))
         .withColumn("qi", expr(
           "transform(embedding, x -> " +
             "CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT))"))

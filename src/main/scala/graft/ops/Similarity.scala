@@ -197,7 +197,13 @@ object Similarity {
     // J >= 0.8: min(|A|,|B|) >= 0.8*max — it only prunes the oracle's
     // pair search, never its answer). LSH is recall-verified against the
     // exact set at the gate SFs; 6 OR-ed tables put the per-pair miss
-    // probability at (1-0.8)^6 ≈ 6e-5.
+    // probability at (1-0.8)^6 ≈ 6e-5. PINNED ASSUMPTION: the gate
+    // compares the LSH candidate set EXACTLY against the exact-Jaccard
+    // oracle, which holds only while Spark's seeded MinHashLSH/HashingTF
+    // hash functions stay stable (true for the pinned Spark 4.1.2). If a
+    // Spark upgrade ever reshuffles the sketch, re-gate on measured
+    // recall >= threshold (q140's pattern) — q171 is the deterministic
+    // exact-guarantee alternative either way.
     Q(
       "q53_minhash_lsh_ml",
       exactShingleJaccardSql) { (s, dir) =>
