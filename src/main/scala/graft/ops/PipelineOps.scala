@@ -18,6 +18,71 @@ import graft.Tables
   */
 object PipelineOps {
 
+  /** Oracle for the end-to-end dedup apply (q141 and the contraction-
+    * forced q174): near-dup pairs → connected components via a recursive
+    * reachability CTE → survivor accounting per language.
+    */
+  private[ops] val dedupApplyOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |prs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND abs(a.n_chars - b.n_chars) <= 5
+      |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+      |edges AS (
+      |  SELECT a, b FROM prs
+      |  UNION SELECT b, a FROM prs
+      |  UNION SELECT a, a FROM prs
+      |  UNION SELECT b, b FROM prs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, MIN(b) AS component
+      |         FROM reach GROUP BY a)
+      |SELECT d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NULL OR c.component = d.doc_id
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND c.component <> d.doc_id
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
+  /** Spark side of q141/q174: banded near-dup pairs → Components.label
+    * (strategy picked by `maxSingleTaskEdges` — q174 forces 0 so the gate
+    * exercises the distributed min-label contraction loop, the code path
+    * that runs at 100 TB edge counts) → survivor corpus accounting.
+    */
+  private[ops] def dedupApply(
+      s: SparkSession, dir: String, maxSingleTaskEdges: Long): DataFrame = {
+    graft.functions.TokenJaccard.register(s)
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val jac = expr("token_jaccard(tk_a, tk_b)")
+    val pairs = Dedup.bandedPairs(docs, "tk")
+      .filter(jac >= 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Components.label(s, pairs, maxSingleTaskEdges)
+      .withColumnRenamed("doc_id", "cid")
+    val survivor = col("cid").isNull || col("component") === col("doc_id")
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(comp, col("doc_id") === col("cid"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(survivor, 1).otherwise(0)).as("n_after"),
+        sum(when(!survivor, 1).otherwise(0)).as("n_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — BM25 (k1=1.2,
     * b=0.75) for the fixed query {spark, join, stream}. Shared by q147
     * (lexical top-k) and q148 (hybrid fusion). Per-term scores are
@@ -560,56 +625,8 @@ object PipelineOps {
     // on 100 TB it is a co-partitioned shuffle join — never quadratic).
     Q(
       "q141_dedup_apply",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_distinct(string_split(text, ' ')) AS tk
-        |  FROM documents),
-        |prs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM toks a JOIN toks b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |   AND abs(a.n_chars - b.n_chars) <= 5
-        |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
-        |edges AS (
-        |  SELECT a, b FROM prs
-        |  UNION SELECT b, a FROM prs
-        |  UNION SELECT a, a FROM prs
-        |  UNION SELECT b, b FROM prs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (SELECT a AS doc_id, MIN(b) AS component
-        |         FROM reach GROUP BY a)
-        |SELECT d.lang,
-        |  CAST(COUNT(*) AS BIGINT) AS n_before,
-        |  CAST(SUM(CASE WHEN c.doc_id IS NULL OR c.component = d.doc_id
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
-        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND c.component <> d.doc_id
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        |GROUP BY d.lang
-        |ORDER BY d.lang""".stripMargin) { (s, dir) =>
-      graft.functions.TokenJaccard.register(s)
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          array_distinct(split(col("text"), " ")).as("tk"))
-      val jac = expr("token_jaccard(tk_a, tk_b)")
-      val pairs = Dedup.bandedPairs(docs, "tk")
-        .filter(jac >= 0.8)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val comp = Components.label(s, pairs)
-        .withColumnRenamed("doc_id", "cid")
-      val survivor = col("cid").isNull || col("component") === col("doc_id")
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"))
-        .join(comp, col("doc_id") === col("cid"), "left")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_before"),
-          sum(when(survivor, 1).otherwise(0)).as("n_after"),
-          sum(when(!survivor, 1).otherwise(0)).as("n_removed"))
-        .orderBy(col("lang"))
+      dedupApplyOracle) { (s, dir) =>
+      dedupApply(s, dir, Components.SingleTaskMaxEdges)
     },
 
     // BPE-ish token counting: subword-piece estimates without a trained
