@@ -63,6 +63,111 @@ object Dedup {
         col("sb." + payload).as(payload + "_b"))
   }
 
+  /** Exact composite-blocked candidate pairs for the token-Jaccard >= 0.8
+    * near-dup family (q46, q114, q141/q174): a qualifying pair must agree
+    * on (lang, ±1 length band) — implied by the |Δn_chars| <= 5 predicate —
+    * AND share a token from both docs' rare-first PREFIX (the ppjoin
+    * filter: under a global df-ascending token order, J >= t forces a
+    * common element within each side's first n - ceil(t*n) + 1 tokens).
+    * The join key is therefore (lang, prefix_token, band): unlike the
+    * length band alone, it does NOT degenerate on a fixed-width corpus —
+    * bucket sizes are bounded by min(band population, prefix-token df),
+    * and the rare-first order pushes prefix-token df toward 1. Both
+    * conditions are necessary for J >= 0.8 ∧ |Δn| <= 5, so the candidate
+    * set is a provable superset of the answer: blocking stays EXACT, no
+    * LSH miss probability. Prefix length uses integer arithmetic
+    * ((4n+4) div 5 = ceil(0.8n)); a float 0.8*n would mis-round at
+    * multiples of 5 and break the completeness proof.
+    *
+    * Expects columns: doc_id, lang, n_chars, <tokens>. Emits each
+    * qualifying unordered candidate pair exactly once (doc_a < doc_b)
+    * with the token payload re-attached as <tokens>_a / <tokens>_b and
+    * the exact |Δn_chars| <= 5 residual applied.
+    */
+  private[ops] def prefixBandPairs(docs: DataFrame, tokens: String): DataFrame = {
+    // global rare-first token order: (df, token) ascending — identical on
+    // every doc because df is a global aggregate
+    val ex = docs.select(col("doc_id"), explode(col(tokens)).as("t"))
+    val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(freq, "t")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ss"))
+      .select(col("doc_id"), expr(
+        "slice(transform(ss, x -> x.t), 1, " +
+          "size(ss) - ((4 * size(ss) + 4) div 5) + 1)").as("pfx"))
+    val side = prefixes
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .withColumn("bkt", floor(col("n_chars") / 5))
+    val probe = side
+      .select(col("lang"), col("doc_id").as("da"), col("n_chars").as("na"),
+        col("bkt").as("bkt_p"), explode(col("pfx")).as("pt"))
+      .select(col("lang"), col("da"), col("na"), col("pt"), col("bkt_p"),
+        explode(array(col("bkt_p"), col("bkt_p") + 1)).as("key"))
+    val build = side
+      .select(col("lang"), col("doc_id").as("db"), col("n_chars").as("nb"),
+        col("bkt").as("key"), explode(col("pfx")).as("pt"))
+    val cand = probe.join(build, Seq("lang", "pt", "key"))
+      // same band matches in both orientations → keep da < db; the
+      // next-band probe is the unique orientation (lower band probes up)
+      .filter(((col("key") === col("bkt_p") && col("da") < col("db")) ||
+        col("key") === col("bkt_p") + 1) &&
+        abs(col("na") - col("nb")) <= 5)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct() // a pair can share several prefix tokens
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col(tokens).as(tokens + "_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col(tokens).as(tokens + "_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col(tokens + "_a"), col(tokens + "_b"))
+  }
+
+  /** 30-bit simhash chunk layout for pigeonhole blocking: 7 disjoint
+    * chunks (widths 5,5,4,4,4,4,4). Hamming distance <= 6 over 30 bits
+    * can flip at most 6 chunks, so at least ONE chunk is bit-identical.
+    */
+  private val shChunks: Seq[(Int, Int)] =
+    Seq((0, 5), (5, 5), (10, 4), (14, 4), (18, 4), (22, 4), (26, 4))
+
+  /** Exact composite-blocked candidate pairs for q48's Hamming <= 6
+    * search: join key (lang, simhash chunk, ±1 length band). Pigeonhole
+    * makes the chunk condition necessary, the band condition is implied
+    * by |Δn_chars| <= 5 — so the candidate set provably contains every
+    * answer pair, and buckets stay bounded even on a fixed-width corpus
+    * (chunk values spread documents that length bands cannot).
+    *
+    * Expects columns: doc_id, lang, n_chars, sh. Emits unordered pairs
+    * once (doc_a < doc_b) as (doc_a, doc_b, sh_a, sh_b) with the exact
+    * length residual applied.
+    */
+  private[ops] def hammingBandPairs(sh: DataFrame): DataFrame = {
+    val chunks = array(shChunks.zipWithIndex.map { case ((off, w), i) =>
+      struct(lit(i).as("cid"),
+        expr(s"(sh >> $off) & ${(1 << w) - 1}").cast("long").as("cv"))
+    }: _*)
+    val base = sh.withColumn("bkt", floor(col("n_chars") / 5))
+      .withColumn("ch", chunks)
+    val probe = base
+      .select(col("lang"), col("doc_id").as("da"), col("n_chars").as("na"),
+        col("sh").as("sha"), col("bkt").as("bkt_p"), explode(col("ch")).as("c"))
+      .select(col("lang"), col("da"), col("na"), col("sha"), col("c"),
+        col("bkt_p"), explode(array(col("bkt_p"), col("bkt_p") + 1)).as("key"))
+    val build = base
+      .select(col("lang"), col("doc_id").as("db"), col("n_chars").as("nb"),
+        col("sh").as("shb"), col("bkt").as("key"), explode(col("ch")).as("c"))
+    probe.join(build, Seq("lang", "c", "key"))
+      .filter(((col("key") === col("bkt_p") && col("da") < col("db")) ||
+        col("key") === col("bkt_p") + 1) &&
+        abs(col("na") - col("nb")) <= 5)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sha")).otherwise(col("shb")).as("sh_a"),
+        when(col("da") < col("db"), col("shb")).otherwise(col("sha")).as("sh_b"))
+      .distinct() // a pair can agree on several chunks
+  }
+
   /** Asymmetric variant of [[bandedPairs]] for incremental ingestion
     * (q134): probe a small incoming batch against the standing corpus on
     * the same (lang, length-band) blocking key. The probe side explodes to
@@ -129,10 +234,13 @@ object Dedup {
         .orderBy(col("lang"), col("source"))
     },
 
-    // E6 near-dup by token-set Jaccard with (lang, length-band) blocking:
-    // the pair join is equi on (lang, floor(n_chars/5)) via bandedPairs,
-    // so at scale it shuffles once on the composite key instead of
-    // crossing n² within a language.
+    // E6 near-dup by token-set Jaccard with EXACT composite blocking:
+    // candidates come from prefixBandPairs' (lang, prefix-token, length
+    // band) equi-join — both the ppjoin prefix condition and the band
+    // condition are necessary for J >= 0.8 ∧ |Δn| <= 5, so the answer is
+    // identical to the oracle's unblocked self-join while buckets stay
+    // bounded even on a fixed-width corpus (where a length-band-only key
+    // degenerates to one bucket per language and goes quadratic).
     Q(
       "q46_ngram_jaccard",
       """WITH toks AS (
@@ -155,7 +263,7 @@ object Dedup {
       // codegen single-pass jaccard — evaluated once per candidate pair,
       // no intersect/concat/distinct array materialization
       val jac = expr("token_jaccard(tk_a, tk_b)")
-      bandedPairs(docs, "tk")
+      prefixBandPairs(docs, "tk")
         .filter(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -235,7 +343,9 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           simhash.as("sh"))
       val hamming = expr("bit_count(sh_a ^ sh_b)")
-      bandedPairs(sh, "sh")
+      // pigeonhole blocking: (lang, simhash chunk, band) — exact for
+      // Hamming <= 6, and immune to fixed-width length distributions
+      hammingBandPairs(sh)
         .filter(hamming <= 6)
         .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))

@@ -171,7 +171,7 @@ object DepthOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tk"))
       val jac = expr("token_jaccard(tk_a, tk_b)")
-      val pairs = Dedup.bandedPairs(docs, "tk")
+      val pairs = Dedup.prefixBandPairs(docs, "tk")
         .filter(jac >= 0.8)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       // Edge generation is the distributed, expensive part (banded

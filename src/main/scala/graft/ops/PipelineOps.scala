@@ -67,7 +67,7 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(split(col("text"), " ")).as("tk"))
     val jac = expr("token_jaccard(tk_a, tk_b)")
-    val pairs = Dedup.bandedPairs(docs, "tk")
+    val pairs = Dedup.prefixBandPairs(docs, "tk")
       .filter(jac >= 0.8)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = Components.label(s, pairs, maxSingleTaskEdges)
