@@ -55,9 +55,15 @@ object Bench {
     val failed = results.collect { case (n, None) => n }
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
-    // compact duplicate LAST so a bounded tail capture always parses a
-    // total even when the per-query map exceeds the capture window
+    // compact duplicate + slowest-10 LAST so a bounded tail capture always
+    // parses a total AND can attribute a regression even when the full
+    // per-query map (alphabetical, q1xx first) exceeds the capture window
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
+    val slowest = results.collect { case (n, Some(t)) => n -> t }
+      .sortBy(-_._2).take(10)
+      .map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","queries":$slowest}""")
     spark.stop()
   }
 }

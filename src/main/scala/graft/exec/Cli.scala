@@ -70,7 +70,11 @@ object Cli {
               val perTable = Option(f.listFiles()).map(_.toSeq)
                 .getOrElse(Seq.empty)
                 .filter(_.getName.endsWith(".parquet"))
-                .filterNot(_.getName.matches("part-.*"))
+                // only the actual Spark/Hive part-file shape is excluded
+                // (part-00000-<uuid>...parquet) — a legitimate per-table
+                // file that happens to start with "part-" (e.g.
+                // part-suppliers.parquet) still registers as a table
+                .filterNot(_.getName.matches("part-\\d{4,}-.*\\.parquet"))
               if (f.isDirectory && perTable.nonEmpty) {
                 perTable.foreach { t =>
                   graft.Tables.readNormalized(spark, t.getPath)

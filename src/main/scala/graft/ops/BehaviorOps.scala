@@ -159,7 +159,8 @@ object BehaviorOps {
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
       val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-      nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+      nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+        .crossJoin(broadcast(nTri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           round(col("n_triangles").cast("double") /
@@ -319,7 +320,7 @@ object BehaviorOps {
         .agg(count(lit(1)).as("n_cells"),
           sum(col("x")).cast("double").as("chi2"))
       val dof = rt.agg((count(lit(1)) - 1).as("rm1"))
-        .crossJoin(ct.agg((count(lit(1)) - 1).as("cm1")))
+        .crossJoin(broadcast(ct.agg((count(lit(1)) - 1).as("cm1"))))
         .select((col("rm1") * col("cm1")).as("dof"))
       agg.crossJoin(broadcast(dof))
         .select(col("n_cells"), col("dof"), col("chi2"))
@@ -403,8 +404,8 @@ object BehaviorOps {
         .join(s2, col("u3") === col("u2") && col("ts") > col("t2"))
         .groupBy(col("u3")).agg(min(col("ts")).as("t3"))
       s1.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click_after"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase_after"))))
     },
 
     // Time-series gap filling with linear interpolation: each user's

@@ -35,6 +35,21 @@ object Components {
     */
   val SingleTaskMaxEdges: Long = 2000000L
 
+  /** Hard cap on contraction rounds. Min-label + pointer doubling halves
+    * the label-chain depth per round, so convergence needs <= ~log2(n)
+    * rounds — 64 covers any representable vertex set. Hitting the cap
+    * therefore means the loop is NOT converging (e.g. a non-deterministic
+    * edge source re-sampling per action) and must fail loud with
+    * diagnostics instead of spinning shuffles forever.
+    */
+  val MaxContractRounds: Int = 64
+
+  /** Telemetry: per-round changed-label counts of the most recent
+    * contract() call on this JVM (head = round 1). Written once per call
+    * (single harness thread); tests assert convergence behavior on it.
+    */
+  @volatile private[graft] var lastContractRounds: Seq[Long] = Seq.empty
+
   /** Label every vertex of `pairs` (columns a, b) with its component's
     * min vertex id. Returns (doc_id, component). `maxSingleTaskEdges` is
     * exposed so tests can force the contraction path.
@@ -42,7 +57,8 @@ object Components {
   def label(
       spark: SparkSession,
       pairs: DataFrame,
-      maxSingleTaskEdges: Long = SingleTaskMaxEdges): DataFrame = {
+      maxSingleTaskEdges: Long = SingleTaskMaxEdges,
+      maxRounds: Int = MaxContractRounds): DataFrame = {
     import spark.implicits._
     // materialize the (expensive) candidate join once: the count that
     // picks the strategy and the labeling both read the checkpoint
@@ -53,7 +69,7 @@ object Components {
         .repartition(1)
         .mapPartitions(UnionFind.components)
         .toDF("doc_id", "component")
-    else contract(spark, edges)
+    else contract(spark, edges, maxRounds)
   }
 
   private def fresh(spark: SparkSession, df: DataFrame): DataFrame = {
@@ -61,7 +77,8 @@ object Components {
     spark.createDataFrame(cp.rdd, cp.schema)
   }
 
-  private def contract(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private def contract(
+      spark: SparkSession, edges: DataFrame, maxRounds: Int): DataFrame = {
     // symmetric closure + self-loops: every vertex appears as src
     val sym = fresh(spark,
       edges.select(col("a").as("src"), col("b").as("dst"))
@@ -72,7 +89,18 @@ object Components {
     var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .withColumnRenamed("src", "node")
     var changed = 1L
+    val rounds = Seq.newBuilder[Long]
+    var round = 0
     while (changed > 0) {
+      round += 1
+      if (round > maxRounds) {
+        lastContractRounds = rounds.result()
+        throw new IllegalStateException(
+          s"Components.contract did not converge after $maxRounds rounds " +
+            s"(last round still changed $changed labels; per-round counts: " +
+            s"${lastContractRounds.mkString(", ")}) — is the edge input " +
+            "deterministic across actions?")
+      }
       // min over neighbors' labels (self-loop ⇒ every node is its own
       // neighbor, so the inner join keeps all nodes)
       val viaNbr = sym
@@ -92,8 +120,10 @@ object Components {
           col("l0"))
       val materialized = fresh(spark, jumped)
       changed = materialized.filter(col("label") < col("l0")).count()
+      rounds += changed
       labels = materialized.select(col("node"), col("label"))
     }
+    lastContractRounds = rounds.result()
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 }

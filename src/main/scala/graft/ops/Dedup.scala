@@ -25,44 +25,6 @@ object Dedup {
       "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a * 131 + b) % 1000000007))"
 
-  /** Banded candidate self-join shared by the near-dup family (q46
-    * Jaccard, q48 SimHash, q114 components): the ±5-char length tolerance
-    * is part of the JOIN KEY, not a residual filter — each doc probes its
-    * own 5-char length band and the next one, and builds on its own band,
-    * so candidate buckets are (lang, band). A lang-only key is quadratic
-    * within the dominant language at 100 TB; the band key bounds every
-    * bucket by construction. |Δn_chars| <= 5 with width-5 bands implies
-    * band distance <= 1, so probing {band, band+1} against build band is
-    * exhaustive (the higher-band doc of a cross-band pair matches when the
-    * LOWER doc is the probe). Emits each qualifying unordered pair exactly
-    * once, ordered doc_a < doc_b, with the payload column re-attached as
-    * <payload>_a / <payload>_b and the exact |Δn_chars| <= 5 residual
-    * applied.
-    *
-    * Expects columns: doc_id, lang, n_chars, <payload>.
-    */
-  private[ops] def bandedPairs(docs: DataFrame, payload: String): DataFrame = {
-    val base = docs.withColumn("bkt", floor(col("n_chars") / 5))
-    val side = struct(col("doc_id"), col("n_chars"), col(payload))
-    val probe = base.select(col("lang"), side.as("pa"),
-      col("bkt").as("bkt_p"),
-      explode(array(col("bkt"), col("bkt") + 1)).as("key"))
-    val build = base.select(col("lang"), side.as("pb"), col("bkt").as("key"))
-    val aFirst = col("pa.doc_id") < col("pb.doc_id")
-    probe.join(build, Seq("lang", "key"))
-      // same band matches twice (both orientations) → keep one by id
-      // order; next-band matches are unique already
-      .filter((col("key") === col("bkt_p") && aFirst) ||
-        col("key") === col("bkt_p") + 1)
-      .select(
-        when(aFirst, col("pa")).otherwise(col("pb")).as("sa"),
-        when(aFirst, col("pb")).otherwise(col("pa")).as("sb"))
-      .filter(abs(col("sa.n_chars") - col("sb.n_chars")) <= 5)
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"),
-        col("sa." + payload).as(payload + "_a"),
-        col("sb." + payload).as(payload + "_b"))
-  }
-
   /** Exact composite-blocked candidate pairs for the token-Jaccard >= 0.8
     * near-dup family (q46, q114, q141/q174): a qualifying pair must agree
     * on (lang, ±1 length band) — implied by the |Δn_chars| <= 5 predicate —
@@ -82,12 +44,18 @@ object Dedup {
     * Expects columns: doc_id, lang, n_chars, <tokens>. Emits each
     * qualifying unordered candidate pair exactly once (doc_a < doc_b)
     * with the token payload re-attached as <tokens>_a / <tokens>_b and
-    * the exact |Δn_chars| <= 5 residual applied.
+    * the exact |Δn_chars| <= 5 residual applied. The token column is
+    * array_distinct'ed HERE (df counts and prefix lengths are only
+    * correct over sets — a caller passing a multiset would otherwise
+    * inflate document frequencies and prefix sizes and void the
+    * superset guarantee); the re-attached payload keeps the caller's
+    * original (possibly duplicated) array.
     */
-  private[ops] def prefixBandPairs(docs: DataFrame, tokens: String): DataFrame = {
+  private[graft] def prefixBandPairs(docs: DataFrame, tokens: String): DataFrame = {
     // global rare-first token order: (df, token) ascending — identical on
     // every doc because df is a global aggregate
-    val ex = docs.select(col("doc_id"), explode(col(tokens)).as("t"))
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(col(tokens))).as("t"))
     val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val prefixes = ex.join(freq, "t")
       .groupBy(col("doc_id"))
@@ -168,9 +136,12 @@ object Dedup {
       .distinct() // a pair can agree on several chunks
   }
 
-  /** Asymmetric variant of [[bandedPairs]] for incremental ingestion
-    * (q134): probe a small incoming batch against the standing corpus on
-    * the same (lang, length-band) blocking key. The probe side explodes to
+  /** Asymmetric banded probe for incremental ingestion (q134): probe a
+    * small incoming batch against the standing corpus on a
+    * (lang, length-band) blocking key, where the ±5-char length tolerance
+    * is part of the JOIN KEY, not a residual filter — |Δn_chars| <= 5
+    * with width-5 bands implies band distance <= 1, so covering bands
+    * {b-1, b, b+1} is exhaustive. The probe side explodes to
     * bands {b-1, b, b+1} so every |Δn_chars| <= 5 pair is covered; the
     * build side stays one row per doc. Returns
     * (batch_id, corpus_id, <payload>_a, <payload>_b) with the exact
@@ -178,7 +149,7 @@ object Dedup {
     * shuffle is O(batch + corpus) on the composite key, and the corpus
     * side can be a bucketed table so only the batch shuffles.
     */
-  private[ops] def bandedProbe(
+  private[graft] def bandedProbe(
       batch: DataFrame, corpus: DataFrame, payload: String): DataFrame = {
     val probe = batch.withColumn("bkt", floor(col("n_chars") / 5))
       .select(col("lang"),

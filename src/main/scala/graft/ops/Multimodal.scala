@@ -131,7 +131,12 @@ object Multimodal {
       import s.implicits._
       val ids = Tables.table(s, dir, "documents")
         .select(col("doc_id")).as[Long]
-      // encode stage: id -> real PNG bytes (binary media column)
+      // encode stage: id -> real PNG bytes (binary media column).
+      // NOTE ON COST ATTRIBUTION: this stage is the gate's FIXTURE
+      // GENERATOR — a production corpus reads PNG bytes from a parquet
+      // binary column; ImageIO.write-per-row here is ~85% of q61's bench
+      // time and is NOT the decode-path cost. Don't "optimize" the decode
+      // stage below to chase this query's bench number.
       val media = ids.mapPartitions { batch =>
         batch.map(id => (id, encodePng(id)))
       }.toDF("doc_id", "payload")

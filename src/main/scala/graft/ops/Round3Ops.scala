@@ -14,7 +14,15 @@ object Round3Ops {
   // SAME SparkContext (sessions are cheap; contexts are not) and cached
   // weakly so repeated gate runs don't pile up session state. getOrCreate
   // only applies withExtensions when it CREATES, so the default/active
-  // slots are cleared for the build and restored right after.
+  // slots are cleared for the build and restored right after — including
+  // the None case: getOrCreate SETS the JVM-global default/active to the
+  // new session, so when no session occupied a slot beforehand the slot
+  // must be cleared back, or later vanilla getOrCreate callers would
+  // silently inherit the fuzzy-resolution analyzer rule. The swap itself
+  // is guarded by the map's monitor; concurrent getOrCreate callers
+  // OUTSIDE this object could still race the global slots (JVM-global
+  // state has no narrower lock) — the harness drives queries single-
+  // threaded, which is the assumption this relies on.
   private val extSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
 
@@ -30,8 +38,14 @@ object Round3Ops {
             .withExtensions(new graft.plans.GraftExtensions)
             .getOrCreate()
           finally {
-            default.foreach(SparkSession.setDefaultSession)
-            active.foreach(SparkSession.setActiveSession)
+            default match {
+              case Some(d) => SparkSession.setDefaultSession(d)
+              case None    => SparkSession.clearDefaultSession()
+            }
+            active match {
+              case Some(a) => SparkSession.setActiveSession(a)
+              case None    => SparkSession.clearActiveSession()
+            }
           }
         extSessions.put(parent, ext)
         ext

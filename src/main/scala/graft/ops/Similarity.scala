@@ -77,9 +77,8 @@ object Similarity {
     withPlanes.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
   }
 
-  /** Exact shingle-Jaccard >= 0.8 pair SQL — the shared oracle for BOTH
-    * q53 (MinHashLSH candidates) and q171 (prefix-filter candidates):
-    * two different distributed candidate generators, one answer. The
+  /** Exact shingle-Jaccard >= 0.8 pair SQL — q53's oracle (the MinHashLSH
+    * candidates are recall-verified against this exact set). The
     * size-band join predicate is implied by J >= 0.8 (min(|A|,|B|) >=
     * 0.8*max) — it prunes the oracle's pair search, never its answer.
     */
@@ -244,54 +243,54 @@ object Similarity {
     },
 
     // Exact set-similarity self-join via PREFIX FILTERING (the ppjoin
-    // family) — the deterministic complement to q53's LSH: under one
-    // global rare-first shingle order, any pair with Jaccard >= t must
-    // share an element of each side's first n - ceil(t*n) + 1 shingles,
-    // so candidates come from an equi-join on prefix shingles and the
-    // guarantee is EXACT (no LSH miss probability). Prefix length uses
-    // integer arithmetic ((4n+4) div 5 = ceil(0.8n)) — a float 0.8*n
-    // would mis-round at multiples of 5 and silently break the
-    // completeness proof. Scale shape: candidate volume is governed by
-    // the rarest shingles (df-ascending order), the verify is the
-    // codegen token_jaccard on co-shuffled pairs; same output as q53 by
-    // construction, same oracle.
+    // family) — the deterministic complement to q53's LSH, run under the
+    // SAME corpus blocking contract as q46 (same lang, |Δn_chars| <= 5)
+    // with 3-gram SHINGLES as the set payload instead of q46's token
+    // sets. Candidates come from Dedup.prefixBandPairs — ONE proven
+    // (lang, prefix-element, length-band) composite implementation
+    // serves the whole family — so the guarantee stays EXACT (ppjoin:
+    // under a global rare-first order, J >= 0.8 forces a shared prefix
+    // element; the band key is implied by the length predicate; both
+    // proofs in Dedup.scala) with no LSH miss probability. The composite
+    // key matters at scale: a prefix-shingle-ONLY join (this query's
+    // pre-round-4 shape) lets the commonest prefix shingle of a
+    // boilerplate-heavy corpus fatten one bucket with no second key to
+    // split it — (lang, pt, band) bounds every bucket by construction
+    // (and cut this query 10.0 s → ~2 s at sf0.1). q53 remains the
+    // unblocked LSH variant recall-verified against its exact oracle.
     Q(
-      "q171_prefix_filter_join", {
-        // q53's exact-pair SQL with only the output column names shared;
-        // the candidate mechanism differs, the answer must not
-        exactShingleJaccardSql
-      }) { (s, dir) =>
+      "q171_prefix_filter_join",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(
+        |      range(len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2] || ' ' ||
+        |           string_split(text, ' ')[i+3])) AS sg
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 5
+        |WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       graft.functions.TokenJaccard.register(s)
       val shingles =
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', element_at(toks, i + 1), " +
           "element_at(toks, i + 2), element_at(toks, i + 3))))"
       val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(shingles).as("sg"))
-      val ex = docs.select(col("doc_id"), explode(col("sg")).as("sh"))
-      val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      // per-doc shingles in (df, sh) ascending order → deterministic
-      // global rare-first prefix
-      val sorted = ex.join(freq, "sh")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
-          .as("ss"))
-      val prefix = sorted.select(col("doc_id"),
-          explode(expr("slice(transform(ss, x -> x.sh), 1, " +
-            "size(ss) - ((4 * size(ss) + 4) div 5) + 1)")).as("psh"))
-      val cand = prefix
-        .join(prefix.select(col("doc_id").as("doc_b"),
-          col("psh").as("psh_b")),
-          col("psh") === col("psh_b") && col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(shingles).as("sg"))
       val jac = expr("token_jaccard(sg_a, sg_b)")
-      cand
-        .join(docs.select(col("doc_id").as("da"), col("sg").as("sg_a")),
-          col("da") === col("doc_a"))
-        .join(docs.select(col("doc_id").as("db"), col("sg").as("sg_b")),
-          col("db") === col("doc_b"))
+      Dedup.prefixBandPairs(docs, "sg")
         .filter(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

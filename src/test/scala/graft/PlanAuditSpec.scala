@@ -28,7 +28,23 @@ class PlanAuditSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val dir = "/root/testdata/sf0.001"
+  // data dir is overridable (and the suite self-skips when it's absent)
+  // so `sbt test` stays green on a machine without the driver's testdata
+  private val dir = sys.props.get("graft.testdata")
+    .orElse(sys.env.get("GRAFT_TESTDATA"))
+    .getOrElse("/root/testdata/sf0.001")
+
+  /** Every test calls this first: skip (don't fail) without the dataset,
+    * and refuse to audit a session where AQE is on — getOrCreate may have
+    * returned a pre-existing differently-configured session, and an AQE
+    * plan is not the static shape these assertions target.
+    */
+  private def checkEnv(): Unit = {
+    assume(new java.io.File(dir, "documents.parquet").exists(),
+      s"plan-audit data dir $dir absent — skipping")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+      "plan audit requires AQE off: a shared session overrode the config")
+  }
 
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
@@ -86,6 +102,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q168_time_range_rolling", "q171_prefix_filter_join", "q172_skyline")
 
   test("no Window or global Sort executes on a single partition") {
+    checkEnv()
     windowAudited.foreach(assertWindowsAndSortsPartitioned)
   }
 
@@ -103,12 +120,14 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q172 skyline plan is entirely SinglePartition-free") {
+    checkEnv()
     val txt = formatted("q172_skyline")
     assert(!txt.contains("Exchange SinglePartition"),
       "two-phase skyline regressed to a single-partition exchange")
   }
 
   test("filter pushdown reaches the parquet scan") {
+    checkEnv()
     Seq("q03_filter_predicates", "q01_pricing_summary", "q119_tpch_q6_forecast",
       "q71_tpch_q3_shape").foreach { name =>
       val txt = formatted(name)
@@ -119,6 +138,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
+    checkEnv()
     Seq("q71_tpch_q3_shape", "q72_tpch_q10_shape", "q133_deterministic_shuffle")
       .foreach { name =>
         assert(formatted(name).contains("TakeOrderedAndProject"),
@@ -127,6 +147,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dimension joins broadcast; explicitly-hinted broadcasts survive") {
+    checkEnv()
     Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
@@ -134,14 +155,62 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
-  test("banded near-dup candidate join shuffles on the composite band key") {
-    // the join key must include the length band, not just lang — lang-only
-    // blocking is quadratic within the dominant language at scale
-    val txt = formatted("q46_ngram_jaccard")
-    val joinKeyLine = txt.linesIterator
-      .filter(l => l.contains("Left keys") || l.contains("Leftkeys"))
-      .mkString("\n")
-    assert(joinKeyLine.contains("lang") && joinKeyLine.contains("key"),
-      s"q46: candidate join no longer keyed on (lang, band): $joinKeyLine")
+  /** Attribute-name sets of every equi-join's left keys in a plan. */
+  private def joinKeySets(p: SparkPlan): Seq[Set[String]] = {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    p.collect {
+      case j: SortMergeJoinExec    => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.map(_.flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }).toSet)
+  }
+
+  // The whole near-dup candidate-join family must shuffle on its COMPOSITE
+  // blocking key — losing a component (e.g. regressing to lang-only or
+  // prefix-only) silently turns the candidate join quadratic within the
+  // dominant block at scale. One parameterized assertion per member:
+  //   q46/q171  (lang, prefix-token, band)  — ppjoin composite
+  //   q48       (lang, simhash-chunk, band) — pigeonhole composite
+  //   q134      (lang, band)                — asymmetric banded probe
+  private val compositeKeyed = Seq(
+    "q46_ngram_jaccard"       -> Set("lang", "pt", "key"),
+    "q171_prefix_filter_join" -> Set("lang", "pt", "key"),
+    "q48_simhash"             -> Set("lang", "c", "key"),
+    "q134_incremental_dedup"  -> Set("lang", "key"))
+
+  test("near-dup candidate joins shuffle on their composite blocking keys") {
+    checkEnv()
+    compositeKeyed.foreach { case (name, keys) =>
+      val seen = joinKeySets(plan(name))
+      assert(seen.exists(keys.subsetOf(_)),
+        s"$name: no join keyed on $keys — join key sets seen: $seen")
+    }
+  }
+
+  test("prefixBandPairs/bandedProbe helper plans key on their composite " +
+    "blocks (the code path q141/q174 execute behind the checkpoint)") {
+    // q141/q174's candidate join runs before Components.label's
+    // localCheckpoint, so it is invisible in their final executed plans;
+    // audit the shared helper directly on an in-memory frame instead.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "en", 10L, Seq("a", "b", "c")),
+      (1L, "en", 12L, Seq("a", "c", "d")),
+      (2L, "de", 11L, Seq("b", "c", "e"))
+    ).toDF("doc_id", "lang", "n_chars", "tk")
+    val pp = graft.ops.Dedup.prefixBandPairs(docs, "tk")
+      .queryExecution.executedPlan
+    assert(joinKeySets(pp).exists(Set("lang", "pt", "key").subsetOf(_)),
+      s"prefixBandPairs: no (lang, pt, band) join — seen: ${joinKeySets(pp)}")
+    val bp = graft.ops.Dedup
+      .bandedProbe(docs, docs.withColumn("doc_id", col("doc_id") + 10), "tk")
+      .queryExecution.executedPlan
+    assert(joinKeySets(bp).exists(Set("lang", "key").subsetOf(_)),
+      s"bandedProbe: no (lang, band) join — seen: ${joinKeySets(bp)}")
   }
 }

@@ -53,4 +53,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(edges, threshold = 1000) == expected(edges))
     assert(run(edges, threshold = 1000) == run(edges, threshold = 0))
   }
+
+  test("round telemetry: chain converges in O(log n) recorded rounds") {
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    run(chain, threshold = 0)
+    val rounds = Components.lastContractRounds
+    // pointer doubling: well under the 39-round diameter bound, and the
+    // final recorded round is the zero-change convergence check
+    assert(rounds.nonEmpty && rounds.size <= 12,
+      s"chain took ${rounds.size} rounds: $rounds")
+    assert(rounds.last == 0L, s"last round must record convergence: $rounds")
+    assert(rounds.init.forall(_ > 0L), s"non-final rounds must progress: $rounds")
+  }
+
+  test("round cap fails loud instead of spinning") {
+    import spark.implicits._
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = intercept[IllegalStateException] {
+      Components.label(spark, chain.toDF("a", "b"),
+        maxSingleTaskEdges = 0, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
