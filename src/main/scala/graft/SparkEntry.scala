@@ -20,7 +20,8 @@ object SparkEntry {
       FinalOps.queries ++ TpchFull.queries ++ FrontierOps.queries ++
       DepthOps.queries ++ StreamMore.queries ++ QualityOps.queries ++
       PipelineOps.queries ++ LakeOps.queries ++ BehaviorOps.queries ++
-      CorpusOps.queries ++ Round3Ops.queries ++ Round4Ops.queries
+      CorpusOps.queries ++ Round3Ops.queries ++ Round4Ops.queries ++
+      Round4More.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-4 batch 2: corpus-hygiene and layout operators a 100 TB
+  * pre-training pipeline runs between raw crawl and tokenization —
+  * global boilerplate-line scrubbing (the C4/CCNet pass), URL
+  * normalization + host-level dedup, range-partition boundary
+  * computation (the building block of distributed sort / ordered
+  * layout), and per-language adaptive quality thresholds. Each is map
+  * stages + partial-agg group-bys; the only windows are per-group
+  * (never SinglePartition) and the only broadcast is a 1-row or
+  * boundaries-sized frame.
+  */
+object Round4More {
+
+  // Fixed-width pseudo-lines: consecutive 8-token chunks. Both engines
+  // chunk identically — chunk i covers tokens [i*8+1, min((i+1)*8, n)].
+  private val chunkW = 8
+
+  val queries: Seq[Q] = Seq(
+    // Pipeline/E8: GLOBAL boilerplate-chunk scrub (the C4 "remove any
+    // line occurring >= 3 times in the corpus" pass, with fixed 8-token
+    // chunks standing in for lines — the synthetic corpus has no line
+    // structure). A deterministic 8-token footer is planted on every
+    // doc_id % 5 == 0 doc so corpus-level duplicate chunks exist; the
+    // scrub then (1) explodes chunks, (2) computes global chunk document
+    // frequency, (3) drops chunks with df >= 3, (4) reassembles each doc
+    // in chunk order, verified by md5. Scale shape: two partial-agg
+    // group-bys (chunk df, per-doc reassembly) + one anti join on the
+    // chunk hash — the SAME shape as exact dedup, just at sub-document
+    // granularity; no windows, no driver state. The boilerplate set is
+    // df-bounded (stopword-class chunks ARE the target), so the anti
+    // join's build side stays small relative to the corpus.
+    Q(
+      "q180_boilerplate_scrub",
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN concat(text, ' all rights reserved terms of service apply')
+         |      ELSE text END AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS tks FROM planted),
+         |ex AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(
+         |      list_slice(tks, i*$chunkW+1, least((i+1)*$chunkW, len(tks))),
+         |      ' ') AS chunk
+         |  FROM tk, LATERAL (
+         |    SELECT unnest(range((len(tks)-1)//$chunkW + 1)) AS i) g),
+         |boiler AS (
+         |  SELECT chunk FROM ex GROUP BY chunk
+         |  HAVING COUNT(DISTINCT doc_id) >= 3),
+         |stats AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ex GROUP BY doc_id),
+         |clean AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    array_to_string(list(chunk ORDER BY idx), ' ') AS clean_text
+         |  FROM ex WHERE chunk NOT IN (SELECT chunk FROM boiler)
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_chunks,
+         |  CAST(s.n_chunks - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(c.clean_text, '')) AS clean_md5
+         |FROM stats s LEFT JOIN clean c USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val ex = Tables.table(s, dir, "documents")
+        .withColumn("t", when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" all rights reserved terms of service apply")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), split(col("t"), " ").as("tks"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, (size(tks)-1) div $chunkW),
+             |  i -> struct(i AS idx,
+             |    concat_ws(' ', slice(tks, i*$chunkW+1, $chunkW)) AS chunk))
+             |""".stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+      val boiler = ex.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("dfd"))
+        .filter(col("dfd") >= 3).select(col("chunk"))
+      val stats = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      val clean = ex.join(boiler, Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"))
+            .as("clean_text"))
+      stats.join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Pipeline/E8: URL normalization + host-level grouping — the first
+    // pass of any crawl pipeline (url-level exact dedup is meaningless
+    // before it). The corpus has no URL column, so a deterministic messy
+    // URL is synthesized per doc (mixed case, www., explicit default
+    // port, utm_* tracking params, trailing slash — both engines build
+    // the identical string), then normalized: lowercase, strip ':443',
+    // drop utm_* params (mid-query then trailing), strip 'www.', strip
+    // the trailing slash. Per host: doc count and distinct normalized
+    // URLs — the collapse from raw to normalized is the dedup win.
+    // Scale shape: pure map (string kernels) + one partial-agg groupBy
+    // on host; runs at scan speed on 100 TB of crawl metadata.
+    Q(
+      "q181_url_normalize",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat('HTTPS://WWW.Site', CAST(doc_id % 20 AS VARCHAR),
+        |      '.COM:443/Path/', CAST(doc_id AS VARCHAR),
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat('?utm_source=feed&id=', CAST(doc_id % 7 AS VARCHAR))
+        |        WHEN doc_id % 3 = 1
+        |        THEN concat('?id=', CAST(doc_id % 7 AS VARCHAR), '&utm_campaign=x')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS url
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      replace(
+        |        regexp_replace(
+        |          regexp_replace(replace(lower(url), ':443', ''),
+        |            'utm_[a-z]+=[^&]*&', ''),
+        |          '[?&]utm_[a-z]+=[^&]*$', ''),
+        |        '://www.', '://'),
+        |      '/$', '') AS u
+        |  FROM raw)
+        |SELECT regexp_extract(u, '://([^/:?]+)', 1) AS host,
+        |  COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_urls,
+        |  MIN(u) AS sample_url
+        |FROM norm
+        |GROUP BY host
+        |ORDER BY host""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("HTTPS://WWW.Site"), (col("doc_id") % 20).cast("string"),
+          lit(".COM:443/Path/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+                lit("&utm_campaign=x")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit(""))))
+        .withColumn("u",
+          regexp_replace(
+            expr("replace(" +
+              "regexp_replace(regexp_replace(replace(lower(url), ':443', '')," +
+              " 'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', '')," +
+              " '://www.', '://')"),
+            "/$", ""))
+        .groupBy(regexp_extract(col("u"), "://([^/:?]+)", 1).as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("u")).as("n_urls"),
+          min(col("u")).as("sample_url"))
+        .orderBy(col("host"))
+    },
+
+    // Layout: range-partition boundary computation — the building block
+    // of distributed sort and ordered parquet layout (Spark's
+    // RangePartitioner does exactly this with a sample; here boundaries
+    // are exact interpolated octile cut points, floored to BIGINT so
+    // both engines agree bit-exactly — p = k/8 and integer inputs make
+    // the interpolation arithmetic exact in double). Every row is then
+    // assigned bucket = #(boundaries < key) via a fold over the
+    // broadcast 7-element boundary array, and the gate reports per-bucket
+    // counts + key ranges: near-equal counts prove the layout would give
+    // a balanced global sort WITHOUT any SinglePartition exchange. Scale
+    // shape: one exact-percentile agg (sort-based partial agg; on a real
+    // 100 TB run this is the sampled variant), a broadcast of 7 longs,
+    // and one partial-agg groupBy.
+    Q(
+      "q182_range_boundaries",
+      """WITH b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(l_partkey,
+        |      [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        |    x -> CAST(floor(x) AS BIGINT)) AS bs
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_partkey AS k,
+        |    CAST(len(list_filter(b.bs, c -> l_partkey > c)) AS INT) AS bucket
+        |  FROM lineitem, b)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM a
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val bounds = li.agg(expr(
+        "transform(percentile(k, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D," +
+          " 0.75D, 0.875D)), x -> CAST(floor(x) AS BIGINT))").as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr(
+          "CAST(aggregate(bs, 0, (acc, c) -> acc + IF(k > c, 1, 0)) AS INT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("bucket"))
+    },
+
+    // Quality/E8: per-language ADAPTIVE quality threshold — a fixed
+    // global cutoff over-filters low-resource languages, so production
+    // filters set the cutoff per language. Score = type-token ratio
+    // (distinct/total tokens, both engines compute the same double).
+    // The per-lang p25 threshold is EXACT discrete (the value at
+    // 0-based rank floor(0.25*(n-1)) ordered by (score, doc_id)) —
+    // computed via a per-lang window rank, NOT interpolated percentile,
+    // so no engine-specific interpolation arithmetic is in play. Docs
+    // with score <= threshold are flagged. Scale shape: map + per-lang
+    // partitioned window (never SinglePartition — asserted shape family
+    // in PlanAuditSpec) + broadcast-sized per-lang threshold join back.
+    Q(
+      "q183_adaptive_quality",
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |rk AS (
+        |  SELECT lang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc),
+        |thr AS (
+        |  SELECT lang, score AS threshold
+        |  FROM rk WHERE rn - 1 = (n - 1) // 4)
+        |SELECT s.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN s.score <= t.threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  ROUND(MIN(t.threshold), 6) AS threshold
+        |FROM sc s JOIN thr t USING (lang)
+        |GROUP BY s.lang
+        |ORDER BY s.lang""".stripMargin) { (s, dir) =>
+      val sc = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " "))).as("score"))
+      val w = Window.partitionBy(col("lang"))
+      val thr = sc
+        .withColumn("rn", row_number().over(w.orderBy(col("score"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter((col("rn") - 1) === expr("(n - 1) div 4"))
+        .select(col("lang"), col("score").as("threshold"))
+      sc.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") <= col("threshold"), 1).otherwise(0))
+            .as("n_flagged"),
+          round(min(col("threshold")), 6).as("threshold"))
+        .orderBy(col("lang"))
+    })
+}

@@ -30,29 +30,39 @@ object StreamOps {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    // the file-stream source requires a DIRECTORY; expose the read-only
-    // parquet file through a symlink in a scratch dir
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
     val target = java.nio.file.Paths.get(path)
-    // NOFOLLOW: a broken symlink (testdata dir moved/recreated) reports
-    // !exists under the default follow semantics, and createSymbolicLink
-    // would then throw FileAlreadyExists. Also re-point a stale link whose
-    // target differs (scratch dirs persist across runs and hashCode keys
-    // can collide).
-    if (java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-      (!java.nio.file.Files.isSymbolicLink(link) ||
-        java.nio.file.Files.readSymbolicLink(link) != target))
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    // The file-stream source requires a DIRECTORY of data files. A
+    // Spark-written dataset (e.g. the ScaleGen slope-measurement dirs) IS
+    // one — stream it directly; the source does not recurse through a
+    // symlinked subdirectory, so routing a dataset dir through the scratch
+    // symlink below would silently stream ZERO files. The driver's dirs
+    // ship events.parquet as a single FILE — expose that one through a
+    // symlink in a scratch dir.
+    val sourceDir =
+      if (java.nio.file.Files.isDirectory(target)) path
+      else {
+        val streamDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"),
+          s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
+        java.nio.file.Files.createDirectories(streamDir)
+        val link = streamDir.resolve("events.parquet")
+        // NOFOLLOW: a broken symlink (testdata dir moved/recreated) reports
+        // !exists under the default follow semantics, and createSymbolicLink
+        // would then throw FileAlreadyExists. Also re-point a stale link
+        // whose target differs (scratch dirs persist across runs and
+        // hashCode keys can collide).
+        if (java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          (!java.nio.file.Files.isSymbolicLink(link) ||
+            java.nio.file.Files.readSymbolicLink(link) != target))
+          java.nio.file.Files.delete(link)
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(link, target)
+        streamDir.toString
+      }
     val raw = spark.read.parquet(path).schema
-    val st = spark.readStream.schema(raw).parquet(streamDir.toString)
+    val st = spark.readStream.schema(raw).parquet(sourceDir)
     if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
       st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else st

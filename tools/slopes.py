@@ -66,6 +66,9 @@ def main():
     runs.sort(key=lambda r: r[0])
     sfs = [r[0] for r in runs]
     qmaps = [r[1] for r in runs]
+    # index of the run one decade below the largest SF (slope base)
+    base_i = next((i for i, sf in enumerate(sfs)
+                   if abs(sf - sfs[-1] / 10) < 1e-9), None)
     all_named = set()
     print("| family | " + " | ".join(f"sf{sf:g} (s)" for sf in sfs) +
           " | slope(sf0.1→sf1) |")
@@ -84,8 +87,8 @@ def main():
         all_named.update(prefixes)
         times = [fam_time(m, prefixes)[0] for m in qmaps]
         slope = ""
-        if times[-1] > 0 and times[-2] > 0 and sfs[-1] / sfs[-2] == 10:
-            slope = f"{math.log10(times[-1] / times[-2]):.2f}"
+        if base_i is not None and times[-1] > 0 and times[base_i] > 0:
+            slope = f"{math.log10(times[-1] / times[base_i]):.2f}"
         print(f"| {fam} | " +
               " | ".join(f"{t:.1f}" for t in times) + f" | {slope} |")
 
@@ -93,20 +96,23 @@ def main():
         sum(t for q, t in m.items()
             if q.split("_")[0] not in all_named and t is not None)
         for m in qmaps]
-    slope = (f"{math.log10(other[-1] / other[-2]):.2f}"
-             if other[-1] > 0 and other[-2] > 0 else "")
+    slope = (f"{math.log10(other[-1] / other[base_i]):.2f}"
+             if base_i is not None and other[-1] > 0 and other[base_i] > 0
+             else "")
     print("| other (bridge/meta/nested/json/sinks) | " +
           " | ".join(f"{t:.1f}" for t in other) + f" | {slope} |")
     totals = [r[2] for r in runs]
-    tslope = f"{math.log10(totals[-1] / totals[-2]):.2f}"
+    tslope = (f"{math.log10(totals[-1] / totals[base_i]):.2f}"
+              if base_i is not None else "")
     print("| **total** | " +
           " | ".join(f"**{t:.1f}**" for t in totals) + f" | **{tslope}** |")
 
     # the 10 worst per-query slopes over the last decade, for triage
     print("\nWorst per-query slopes sf0.1→sf1 (t_sf1 >= 0.5s):")
     worst = []
+    base = qmaps[base_i] if base_i is not None else qmaps[-2]
     for q, t1 in qmaps[-1].items():
-        t0 = qmaps[-2].get(q)
+        t0 = base.get(q)
         if t0 and t1 and t1 >= 0.5:
             worst.append((math.log10(t1 / t0), q, t0, t1))
     for s, q, t0, t1 in sorted(worst, reverse=True)[:10]:
