@@ -99,7 +99,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q126_decontamination", "q129_sequence_packing", "q147_bm25_topk",
     "q150_pipeline_composed", "q155_zorder_layout", "q156_bigram_lm_score",
     "q158_triangle_count", "q160_association_rules", "q163_gap_fill_interpolate",
-    "q168_time_range_rolling", "q171_prefix_filter_join", "q172_skyline")
+    "q168_time_range_rolling", "q171_prefix_filter_join", "q172_skyline",
+    // round-4 gates; q179 is deliberately absent — its cumulative-vocab
+    // window reads O(deciles) rows, a global tiny-input window by design
+    "q176_pii_scrub", "q177_inverted_index", "q178_rendezvous_shard",
+    "q180_boilerplate_scrub", "q183_adaptive_quality")
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()
@@ -148,8 +152,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dimension joins broadcast; explicitly-hinted broadcasts survive") {
     checkEnv()
-    Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline")
-      .foreach { name =>
+    Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline",
+      "q182_range_boundaries").foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
       }
