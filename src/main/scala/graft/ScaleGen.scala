@@ -41,6 +41,41 @@ object ScaleGen {
   /** Key offset per replica; must exceed every key in the source tables. */
   private val Cap = 10000000L
 
+  /** Per-replica bijective token rename: tokens with
+    * pmod(xxhash64(token, rep), 4) = 0 get a "_r<rep>" suffix. A
+    * bijection on the vocabulary preserves every within-replica set
+    * relation (Jaccard, containment, MinHash collision structure)
+    * EXACTLY while making renamed tokens replica-local. Exposed (not
+    * inlined in main) so ScaleGenSpec can pin the invariant the slope
+    * measurements rest on.
+    */
+  private[graft] def renameText(d: DataFrame, r: Int): DataFrame =
+    if (r == 0) d
+    else d
+      .withColumn("text", expr(
+        s"""array_join(transform(split(text, ' '),
+           |  t -> CASE WHEN pmod(xxhash64(t, $r), 4) = 0
+           |       THEN concat(t, '_r$r') ELSE t END), ' ')""".stripMargin))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Per-replica signed coordinate permutation — an exactly orthogonal
+    * transform: within-replica inner products and norms are preserved
+    * bit-for-bit modulo float negation (which is exact), cross-replica
+    * cosines collapse to noise. Seeded per replica; same inputs → same
+    * permutation.
+    */
+  private[graft] def signedPerm(dim: Int)(d: DataFrame, r: Int): DataFrame =
+    if (r == 0) d
+    else {
+      val rnd   = new scala.util.Random(0x5ca1e + r)
+      val perm  = rnd.shuffle((0 until dim).toVector)
+      val items = perm.map { j =>
+        val s = if (rnd.nextBoolean()) "" else "-"
+        s"CAST(${s}embedding[$j] AS FLOAT)"
+      }
+      d.withColumn("embedding", expr(s"array(${items.mkString(",")})"))
+    }
+
   def main(args: Array[String]): Unit = {
     val src    = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst    = args.lift(1).getOrElse("/root/repo/testdata/sf1")
@@ -89,29 +124,12 @@ object ScaleGen {
     write("lineitem", replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), 32)
     write("events",   replicate("events",   Seq("event_id", "user_id")), 8)
 
-    val renameText = (d: DataFrame, r: Int) =>
-      if (r == 0) d
-      else d
-        .withColumn("text", expr(
-          s"""array_join(transform(split(text, ' '),
-             |  t -> CASE WHEN pmod(xxhash64(t, $r), 4) = 0
-             |       THEN concat(t, '_r$r') ELSE t END), ' ')""".stripMargin))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    write("documents", replicate("documents", Seq("doc_id"), renameText), 8)
+    write("documents",
+      replicate("documents", Seq("doc_id"), renameText), 8)
 
     val dim = base("embeddings").select(size(col("embedding"))).first().getInt(0)
-    val signedPerm = (d: DataFrame, r: Int) =>
-      if (r == 0) d
-      else {
-        val rnd   = new scala.util.Random(0x5ca1e + r)
-        val perm  = rnd.shuffle((0 until dim).toVector)
-        val items = perm.map { j =>
-          val s = if (rnd.nextBoolean()) "" else "-"
-          s"CAST(${s}embedding[$j] AS FLOAT)"
-        }
-        d.withColumn("embedding", expr(s"array(${items.mkString(",")})"))
-      }
-    write("embeddings", replicate("embeddings", Seq("vec_id"), signedPerm), 4)
+    write("embeddings",
+      replicate("embeddings", Seq("vec_id"), signedPerm(dim)), 4)
 
     // Sanity: report row counts so a truncated run is visible.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -254,5 +254,192 @@ object Round4More {
             .as("n_flagged"),
           round(min(col("threshold")), 6).as("threshold"))
         .orderBy(col("lang"))
+    },
+
+    // E6/E7: SemDeDup-style semantic dedup — cluster embeddings by
+    // nearest coarse centroid, then near-dup ONLY within clusters
+    // (Abbas et al. 2023: the cluster assignment bounds the pairwise
+    // stage to per-cluster blocks; at 100 TB the codebook size grows
+    // with the corpus so block sizes stay bounded — here k=32
+    // deterministic stand-in centroids, the first 32 vectors, as in
+    // q74). The corpus has no true semantic dups (max natural cosine
+    // ~0.5), so exact-duplicate shadows are PLANTED per vec_id % 25
+    // == 0 (id + 1000000, same embedding — both engines construct
+    // them identically); a pair is duplicate at cosine >= 0.9
+    // (vectors are unit-norm so cosine = dot; same ascending fold
+    // both engines → bit-identical doubles). Survivorship keeps the
+    // LOWEST id of each duplicate pair; the gate reports per-cluster
+    // members / dup pairs / dropped. Scale shape: broadcast codebook
+    // + one partitioned window for assignment; the pairwise stage is
+    // an equi-join ON the cluster id — the same candidate-join shape
+    // the near-dup family audits, never an unblocked cross join.
+    Q(
+      "q184_semantic_dedup",
+      """WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |cent AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        |  WHERE vec_id < 32),
+        |dots AS (
+        |  SELECT u.vec_id, u.embedding, c.cid,
+        |    list_reduce(list_transform(range(len(u.embedding)),
+        |      i -> CAST(u.embedding[i+1] AS DOUBLE)
+        |         * CAST(c.ce[i+1] AS DOUBLE)), (x, y) -> x + y) AS d
+        |  FROM uni u, cent c),
+        |asg AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d DESC, cid ASC) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |prs AS (
+        |  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+        |  FROM asg a JOIN asg b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(range(len(a.embedding)),
+        |      i -> CAST(a.embedding[i+1] AS DOUBLE)
+        |         * CAST(b.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)
+        |    >= 0.9),
+        |mem AS (SELECT cid, COUNT(*) AS n_members FROM asg GROUP BY cid)
+        |SELECT m.cid, m.n_members,
+        |  COALESCE(p.n_pairs, 0) AS n_dup_pairs,
+        |  COALESCE(p.n_dropped, 0) AS n_dropped
+        |FROM mem m LEFT JOIN (
+        |  SELECT cid, COUNT(*) AS n_pairs,
+        |    CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_dropped
+        |  FROM prs GROUP BY cid) p USING (cid)
+        |ORDER BY m.cid""".stripMargin) { (s, dir) =>
+      graft.functions.ArrayDot.register(s)
+      val e = Tables.table(s, dir, "embeddings")
+      val uni = e.select(col("vec_id"), col("embedding"))
+        .unionAll(e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val cent = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d").desc, col("cid").asc)
+      val asg = uni.crossJoin(broadcast(cent))
+        .withColumn("d", expr("array_dot(embedding, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val a = asg.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val prs = a.join(b, Seq("cid"))
+        .filter(col("va") < col("vb") && expr("array_dot(ea, eb)") >= 0.9)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("vb")).as("n_dropped"))
+      asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .join(prs, Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy(col("cid"))
+    },
+
+    // Pipeline: temperature-based corpus mixing — sample quotas
+    // proportional to n^alpha (alpha = 0.5) instead of n, the standard
+    // rebalancing that keeps low-resource languages from vanishing in
+    // a proportional mix. Quotas are integerized by largest-remainder
+    // (floors + the L largest fractional parts get +1, so quotas sum
+    // to the target EXACTLY); per-language selection takes the
+    // lowest-LCG-keyed docs (the same integer-hash determinism rule
+    // the sampling family uses — never rand()). Output is the sampled
+    // docs themselves, so selection — not just counts — is gated.
+    // Scale shape: per-lang aggregates (one tiny frame), a per-lang
+    // partitioned selection window, and one broadcast join of the
+    // 5-row quota table; the largest-remainder window reads O(langs)
+    // rows by construction, like q179's decile window.
+    Q(
+      "q185_temperature_mix",
+      """WITH cnt AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(sqrt(n)) AS sw FROM cnt),
+        |q AS (
+        |  SELECT lang, n, sqrt(n) / t.sw * 100 AS qf,
+        |    CAST(floor(sqrt(n) / t.sw * 100) AS BIGINT) AS fl
+        |  FROM cnt, tot t),
+        |lr AS (
+        |  SELECT lang, n, fl,
+        |    ROW_NUMBER() OVER (ORDER BY qf - fl DESC, lang ASC) AS rk,
+        |    (SELECT 100 - SUM(fl) FROM q) AS leftover
+        |  FROM q),
+        |quota AS (
+        |  SELECT lang, fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS quota
+        |  FROM lr),
+        |keyed AS (
+        |  SELECT d.doc_id, d.lang,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY (d.doc_id * 2654435761) % 2147483647, d.doc_id)
+        |      AS rn
+        |  FROM documents d)
+        |SELECT k.doc_id, k.lang, k.rn
+        |FROM keyed k JOIN quota q ON k.lang = q.lang AND k.rn <= q.quota
+        |ORDER BY k.lang, k.rn""".stripMargin) { (s, dir) =>
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val cnt = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(sqrt(col("n"))).as("sw"))
+      val q = cnt.crossJoin(broadcast(tot))
+        .withColumn("qf", sqrt(col("n")) / col("sw") * 100)
+        .withColumn("fl", floor(col("qf")).cast("long"))
+      val lo = q.agg((lit(100) - sum(col("fl"))).as("leftover"))
+      // largest-remainder window reads O(langs) rows — tiny by design
+      val quota = q.crossJoin(broadcast(lo))
+        .withColumn("rk", row_number().over(
+          Window.orderBy((col("qf") - col("fl")).desc, col("lang").asc)))
+        .select(col("lang"),
+          (col("fl") + when(col("rk") <= col("leftover"), 1).otherwise(0))
+            .as("quota"))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(pmod(col("doc_id") * 2654435761L, lit(2147483647L)),
+              col("doc_id"))))
+        .join(broadcast(quota), Seq("lang"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // Pipeline: curriculum interleave — rank docs within each source by
+    // a quality score, then emit the top-k per source in (rank, source)
+    // order, so consecutive training examples rotate across sources
+    // (the cluster-spread ordering that keeps a batch from filling with
+    // one source's near-identical docs). Scale shape: one per-source
+    // partitioned window + a range-partitioned presentation sort; the
+    // interleaved ORDER is the deliverable, produced without any
+    // single-partition stage.
+    Q(
+      "q186_curriculum_interleave",
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, source, score,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM sc)
+        |SELECT rn, source, doc_id, ROUND(score, 6) AS score
+        |FROM rk WHERE rn <= 2
+        |ORDER BY rn, source""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " "))).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("rn"), col("source"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("rn"), col("source"))
     })
 }

@@ -100,10 +100,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q150_pipeline_composed", "q155_zorder_layout", "q156_bigram_lm_score",
     "q158_triangle_count", "q160_association_rules", "q163_gap_fill_interpolate",
     "q168_time_range_rolling", "q171_prefix_filter_join", "q172_skyline",
-    // round-4 gates; q179 is deliberately absent — its cumulative-vocab
-    // window reads O(deciles) rows, a global tiny-input window by design
+    // round-4 gates; q179/q185 are deliberately absent — their global
+    // windows (cumulative vocab, largest-remainder quota ranking) read
+    // O(deciles)/O(langs) rows, tiny-input by design
     "q176_pii_scrub", "q177_inverted_index", "q178_rendezvous_shard",
-    "q180_boilerplate_scrub", "q183_adaptive_quality")
+    "q180_boilerplate_scrub", "q183_adaptive_quality",
+    "q184_semantic_dedup", "q186_curriculum_interleave")
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()
@@ -153,7 +155,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dimension joins broadcast; explicitly-hinted broadcasts survive") {
     checkEnv()
     Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline",
-      "q182_range_boundaries").foreach { name =>
+      "q182_range_boundaries", "q184_semantic_dedup").foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
       }
