@@ -441,5 +441,108 @@ object Round4More {
         .select(col("rn"), col("source"), col("doc_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("rn"), col("source"))
+    },
+
+    // Behavioral/graph: PageRank over the co-purchase graph (parts
+    // co-occurring in an order, support >= 2, symmetrized) — the
+    // canonical ITERATIVE distributed computation, complementing the
+    // contraction loop (q174) with a fixed-iteration dataflow. All
+    // arithmetic is FIXED-POINT BIGINT (rank mass 10^12; contribution
+    // = r div deg; damping as (85*sum) div 100): integer div and exact
+    // BIGINT sums are order-independent and identical in both engines,
+    // where a float PageRank's grouped double sums would diverge
+    // run-to-run across partitions. 5 unrolled iterations; the oracle
+    // unrolls the same five CTEs. Scale shape: the one heavy stage is
+    // the co-occurrence aggregation (partial-agg groupBy); the edge
+    // list is checkpointed ONCE so the 5 iterations reuse it instead
+    // of re-running the pair join per iteration (the q158 lesson);
+    // each iteration is an equi-join on src + a partial-agg groupBy on
+    // dst — at 100 TB this is per-iteration-linear in edges with no
+    // driver-side state but the loop counter.
+    Q(
+      "q187_pagerank",
+      """WITH pr AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |ed0 AS MATERIALIZED (
+        |  SELECT pa, pb FROM pr GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT pa AS src, pb AS dst FROM ed0
+        |  UNION ALL SELECT pb, pa FROM ed0),
+        |deg AS MATERIALIZED (
+        |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+        |it0 AS MATERIALIZED (
+        |  SELECT src AS node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+        |  FROM deg, nn),
+        |it1 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    CAST(15000000000000 // (100 * nn.n)
+        |      + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN it0 p ON p.node = e.src
+        |  JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n),
+        |it2 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    CAST(15000000000000 // (100 * nn.n)
+        |      + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN it1 p ON p.node = e.src
+        |  JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n),
+        |it3 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    CAST(15000000000000 // (100 * nn.n)
+        |      + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN it2 p ON p.node = e.src
+        |  JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n),
+        |it4 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    CAST(15000000000000 // (100 * nn.n)
+        |      + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN it3 p ON p.node = e.src
+        |  JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n),
+        |it5 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    CAST(15000000000000 // (100 * nn.n)
+        |      + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN it4 p ON p.node = e.src
+        |  JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n)
+        |SELECT node AS part, r AS rank_fp
+        |FROM it5
+        |ORDER BY rank_fp DESC, part ASC
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("pa"))
+      val b = li.select(col("ok"), col("pk").as("pb"))
+      val ed0 = a.join(b, Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("pa"), col("pb"))
+      // checkpoint the thresholded edges once: the 5 iterations below
+      // must not re-run the co-occurrence aggregation per iteration
+      val edCp = ed0.localCheckpoint(true)
+      val ed = s.createDataFrame(edCp.rdd, edCp.schema)
+      val edges = ed.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(ed.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(nn))
+        .select(col("src").as("node"), expr("1000000000000L div n").as("r"))
+      for (_ <- 1 to 5) {
+        r = edges
+          .join(r, col("node") === col("src"))
+          .join(deg.withColumnRenamed("src", "ds"), col("ds") === col("src"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("sc"))
+          .crossJoin(broadcast(nn))
+          .select(col("dst").as("node"),
+            expr("15000000000000L div (100 * n) + (85 * sc) div 100").as("r"))
+      }
+      r.select(col("node").as("part"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part").asc)
+        .limit(10)
     })
 }

@@ -145,8 +145,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     checkEnv()
-    Seq("q71_tpch_q3_shape", "q72_tpch_q10_shape", "q133_deterministic_shuffle")
-      .foreach { name =>
+    Seq("q71_tpch_q3_shape", "q72_tpch_q10_shape", "q133_deterministic_shuffle",
+      "q187_pagerank").foreach { name =>
         assert(formatted(name).contains("TakeOrderedAndProject"),
           s"$name: top-k fell back to global sort + CollectLimit")
       }
@@ -155,7 +155,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dimension joins broadcast; explicitly-hinted broadcasts survive") {
     checkEnv()
     Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline",
-      "q182_range_boundaries", "q184_semantic_dedup").foreach { name =>
+      "q182_range_boundaries", "q184_semantic_dedup", "q187_pagerank")
+      .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
       }
