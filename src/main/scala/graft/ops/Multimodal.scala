@@ -66,6 +66,31 @@ object Multimodal {
     (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
   }
 
+  /** RESIZE: decode, 2× nearest-neighbor downsample (out(x,y) =
+    * in(2x, 2y) — NN is chosen over smoothing filters because it is
+    * bit-deterministic and closed-form recomputable; an interpolating
+    * resample would tie the oracle to one library's filter kernel),
+    * then the same per-channel stats as decodePng.
+    */
+  private[ops] def resizeNN2x(payload: Array[Byte])
+      : (Long, Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val p = img.getRGB(2 * x, 2 * y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w2.toLong, h2.toLong, sr, sg, sb)
+  }
+
   val queries: Seq[Q] = Seq(
     // E9: binary payload + typed metadata, all relational: byte length,
     // content digest, and a deterministic feature vector (first-4-
@@ -150,5 +175,105 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
         .orderBy(col("doc_id"))
+    },
+
+    // E9: RESIZE through the real codec — decode PNG, 2× nearest-
+    // neighbor downsample (out(x,y) = in(2x,2y)), per-channel stats of
+    // the RESIZED image. NN is deliberate: it is the one resampling
+    // whose output is closed-form recomputable by the oracle (resized
+    // pixel (x,y) = pattern(id, 2x, 2y)); an interpolating filter would
+    // pin the gate to a specific library kernel. Same scale shape as
+    // q61: two pure map stages, decoder+resizer init amortized per
+    // partition, no shuffle beyond the presentation sort. Subset
+    // doc_id < 200 keeps the encode-fixture cost (q61's NOTE) out of
+    // the timed hot path at big SFs.
+    Q(
+      "q188_multimodal_resize",
+      """SELECT doc_id,
+        |  CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(4), y ->
+        |    list_transform(range(6), x -> (doc_id*31 + 2*x*7 + 2*y*13) % 256))))
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(4), y ->
+        |    list_transform(range(6), x -> (doc_id*17 + 2*x*3 + 2*y*5) % 256))))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(4), y ->
+        |    list_transform(range(6), x -> (doc_id*11 + 2*x*13 + 2*y*7) % 256))))
+        |    AS BIGINT) AS sum_b
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { batch =>
+        batch.map(id => (id, encodePng(id)))
+      }.toDF("doc_id", "payload")
+      media.as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val (w, h, sr, sg, sb) = resizeNN2x(payload)
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy(col("doc_id"))
+    },
+
+    // E9: FRAME SAMPLING — the video-column pattern. Every doc_id % 5
+    // == 0 document carries a 4-frame "video" (an array<binary> of real
+    // PNG frames, frame f's pattern seeded by doc_id*4 + f — an actual
+    // container format would add a demuxer in the same mapPartitions
+    // slot). Stride-2 sampling keeps frames {0, 2}, and ONLY sampled
+    // frames are decoded — the whole point of frame sampling at 100 TB
+    // is that decode cost scales with frames KEPT, not frames stored.
+    // Scale shape: pure map stages; posexplode of the sampled-frame
+    // array; per-partition codec init; no shuffle beyond the
+    // presentation sort. Subset doc_id < 200 for the same fixture-cost
+    // reason as q188.
+    Q(
+      "q189_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id, unnest([0, 2]) AS frame_idx
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 200),
+        |seeded AS (SELECT doc_id, frame_idx, doc_id*4 + frame_idx AS sd FROM v)
+        |SELECT doc_id, frame_idx,
+        |  CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (sd*31 + x*7 + y*13) % 256))))
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (sd*17 + x*3 + y*5) % 256))))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(8), y ->
+        |    list_transform(range(12), x -> (sd*11 + x*13 + y*7) % 256))))
+        |    AS BIGINT) AS sum_b
+        |FROM seeded
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      // container-build stage (fixture): 4 real PNG frames per video
+      val media = ids.mapPartitions { batch =>
+        batch.map { id =>
+          (id, (0 until 4).map(f => encodePng(id * 4 + f)).toArray)
+        }
+      }.toDF("doc_id", "frames")
+      // sample stage: SELECT the frames to keep (stride 2) WITHOUT
+      // decoding — array indexing on the binary column, pure relational
+      val sampled = media.select(col("doc_id"),
+        explode(expr("transform(array(0, 2), " +
+          "f -> struct(f AS frame_idx, frames[f] AS payload))")).as("s"))
+        .select(col("doc_id"), col("s.frame_idx").as("frame_idx"),
+          col("s.payload").as("payload"))
+      // decode stage: only sampled frames pay the codec
+      sampled.as[(Long, Int, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, f, payload) =>
+          val (w, h, sr, sg, sb) = decodePng(payload)
+          (id, f, w, h, sr, sg, sb)
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
 }

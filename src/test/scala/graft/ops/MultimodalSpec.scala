@@ -29,4 +29,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert((sr, sg, sb) == (er, eg, eb), s"id=$id")
     }
   }
+
+  test("NN 2x resize through the codec matches the closed form (q188)") {
+    def expectedResized(id: Long): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until Multimodal.H / 2; x <- 0 until Multimodal.W / 2) {
+        sr += (id * 31 + 2 * x * 7 + 2 * y * 13) % 256
+        sg += (id * 17 + 2 * x * 3 + 2 * y * 5) % 256
+        sb += (id * 11 + 2 * x * 13 + 2 * y * 7) % 256
+      }
+      (sr, sg, sb)
+    }
+    for (id <- Seq(0L, 3L, 199L)) {
+      val (w, h, sr, sg, sb) = Multimodal.resizeNN2x(Multimodal.encodePng(id))
+      assert((w, h) == (Multimodal.W.toLong / 2, Multimodal.H.toLong / 2))
+      assert((sr, sg, sb) == expectedResized(id), s"id=$id")
+    }
+  }
+
+  test("frame seeding: sampled frame f of video id decodes as pattern id*4+f") {
+    val id = 15L
+    for (f <- Seq(0, 2)) {
+      val (w, h, sr, sg, sb) =
+        Multimodal.decodePng(Multimodal.encodePng(id * 4 + f))
+      val (er, eg, eb) = expected(id * 4 + f)
+      assert((w, h) == (Multimodal.W.toLong, Multimodal.H.toLong))
+      assert((sr, sg, sb) == (er, eg, eb), s"frame=$f")
+    }
+  }
 }
