@@ -49,7 +49,7 @@ FAMILIES = [
     ("streaming (fixed-cost state machinery)",
      ["q55", "q56", "q57", "q91", "q92", "q108", "q115", "q116", "q117",
       "q123", "q125", "q142"]),
-    ("multimodal", ["q60", "q61"]),
+    ("multimodal", ["q60", "q61", "q188", "q189"]),
 ]
 
 
