@@ -105,7 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // O(deciles)/O(langs) rows, tiny-input by design
     "q176_pii_scrub", "q177_inverted_index", "q178_rendezvous_shard",
     "q180_boilerplate_scrub", "q183_adaptive_quality",
-    "q184_semantic_dedup", "q186_curriculum_interleave")
+    "q184_semantic_dedup", "q186_curriculum_interleave",
+    "q190_ngram_novelty", "q191_hard_negative")
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()
@@ -155,7 +156,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dimension joins broadcast; explicitly-hinted broadcasts survive") {
     checkEnv()
     Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline",
-      "q182_range_boundaries", "q184_semantic_dedup", "q187_pagerank")
+      "q182_range_boundaries", "q184_semantic_dedup", "q187_pagerank",
+      "q191_hard_negative", "q192_epoch_waterfill")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
@@ -188,6 +190,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q171_prefix_filter_join" -> Set("lang", "pt", "key"),
     "q48_simhash"             -> Set("lang", "c", "key"),
     "q134_incremental_dedup"  -> Set("lang", "key"))
+
+  test("q191 hard-negative mining aggregates, never windows") {
+    checkEnv()
+    // the design point: top-1-per-anchor is a groupBy/max(struct) with a
+    // map-side partial aggregate, NOT a row_number window that would
+    // shuffle every candidate pair to one task per anchor
+    val p = plan("q191_hard_negative")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "q191 regressed to a window — candidate pairs now shuffle unreduced")
+    assert(formatted("q191_hard_negative").contains("BroadcastNestedLoop"),
+      "q191: anchor side no longer broadcasts into the label-mismatch join")
+  }
 
   test("near-dup candidate joins shuffle on their composite blocking keys") {
     checkEnv()
