@@ -208,5 +208,72 @@ object Round4Final {
           round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
             .as("epochs"))
         .orderBy(col("source"))
+    },
+
+    // Text/dedup: WINNOWING fingerprints (Schleimer/Wilkerson/Aiken's
+    // MOSS scheme): hash every ordered 3-token shingle with the q43
+    // polynomial char fold, slide a w=4 window over the hash sequence,
+    // and keep each window's minimum — rightmost on ties, the choice
+    // that makes selection position-stable under edits. The guarantee
+    // winnowing adds over q43's single MinHash: any shared run of
+    // w+k-1 tokens between two documents shares at least one selected
+    // fingerprint, at ~2/(w+1) density — local similarity, not just
+    // whole-doc identity. Rightmost-min is encoded order-free so both
+    // engines agree without a positional fold: key = h * 2^20 +
+    // (2^20-1 - pos); min(key) = (min h, then MAX pos); pos and h
+    // decode back out of the packed key. Everything is a per-row
+    // integer array pipeline — zero shuffles beyond the presentation
+    // sort; the fingerprint SET is gated via its exact modular sum.
+    Q(
+      "q193_winnowing",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |h AS (
+        |  SELECT doc_id, len(toks) - 2 AS m,
+        |    list_transform(range(len(toks) - 2), i ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(
+        |            string_split(toks[i+1] || ' ' || toks[i+2] || ' '
+        |              || toks[i+3], ''),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM t),
+        |sel AS (
+        |  SELECT doc_id, m,
+        |    list_distinct(list_transform(range(m - 3), j ->
+        |      list_min(list_transform(range(4), o ->
+        |        hs[j+o+1] * 1048576 + (1048575 - (j+o+1)))))) AS keys
+        |  FROM h WHERE m >= 4)
+        |SELECT doc_id, CAST(m AS BIGINT) AS n_shingles,
+        |  CAST(len(keys) AS BIGINT) AS n_fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(keys, kk -> kk // 1048576)),
+        |    (a, b) -> (a + b) % 1000000007) AS fp_sum
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val charFold = (g: String) =>
+        s"aggregate(transform(filter(split($g, ''), c -> c != ''), " +
+          "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
+          "(a, b) -> (a * 131 + b) % 1000000007)"
+      Tables.table(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 6)
+        .withColumn("m", (size(col("toks")) - 2).cast("long"))
+        .withColumn("hs", expr(
+          "transform(sequence(1, size(toks) - 2), i -> " +
+            charFold("concat_ws(' ', element_at(toks, i), " +
+              "element_at(toks, i + 1), element_at(toks, i + 2))") + ")"))
+        .filter(col("m") >= 4)
+        .withColumn("keys", expr(
+          "array_distinct(transform(sequence(1, CAST(m AS INT) - 3), j -> " +
+            "array_min(transform(sequence(j, j + 3), i2 -> " +
+            "element_at(hs, i2) * 1048576L + (1048575L - i2)))))"))
+        .select(col("doc_id"), col("m").as("n_shingles"),
+          size(col("keys")).cast("long").as("n_fp"),
+          expr("aggregate(keys, 0L, " +
+            "(a, kk) -> (a + kk div 1048576) % 1000000007)").as("fp_sum"))
+        .orderBy(col("doc_id"))
     })
 }
