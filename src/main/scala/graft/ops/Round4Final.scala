@@ -225,7 +225,44 @@ object Round4Final {
     // integer array pipeline — zero shuffles beyond the presentation
     // sort; the fingerprint SET is gated via its exact modular sum.
     Q(
-      "q193_winnowing",
+      "q193_winnowing", Round4Final.winnowOracleSql) {
+      (s, dir) =>
+      winnowKeys(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), col("m").as("n_shingles"),
+          size(col("keys")).cast("long").as("n_fp"),
+          expr("aggregate(keys, 0L, " +
+            "(a, kk) -> (a + kk div 1048576) % 1000000007)").as("fp_sum"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Winnowing selection kernel, factored so WinnowingPropSpec can drive
+    * it on synthetic documents: text -> ordered 3-token shingle hashes
+    * (q43's polynomial char fold) -> per-window (w=4) packed-key min.
+    * Output keeps doc_id plus m (shingle count) and keys (distinct
+    * selected packed keys; hash = key div 2^20, pos = 2^20-1 - key mod
+    * 2^20). Docs with fewer than 6 tokens (no full window) are dropped.
+    */
+  private[graft] def winnowKeys(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val charFold = (g: String) =>
+      s"aggregate(transform(filter(split($g, ''), c -> c != ''), " +
+        "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
+        "(a, b) -> (a * 131 + b) % 1000000007)"
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 6)
+      .withColumn("m", (size(col("toks")) - 2).cast("long"))
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          charFold("concat_ws(' ', element_at(toks, i), " +
+            "element_at(toks, i + 1), element_at(toks, i + 2))") + ")"))
+      .filter(col("m") >= 4)
+      .withColumn("keys", expr(
+        "array_distinct(transform(sequence(1, CAST(m AS INT) - 3), j -> " +
+          "array_min(transform(sequence(j, j + 3), i2 -> " +
+          "element_at(hs, i2) * 1048576L + (1048575L - i2)))))"))
+  }
+
+  private def winnowOracleSql: String =
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
@@ -252,28 +289,5 @@ object Round4Final {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(keys, kk -> kk // 1048576)),
         |    (a, b) -> (a + b) % 1000000007) AS fp_sum
-        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val charFold = (g: String) =>
-        s"aggregate(transform(filter(split($g, ''), c -> c != ''), " +
-          "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
-          "(a, b) -> (a * 131 + b) % 1000000007)"
-      Tables.table(s, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 6)
-        .withColumn("m", (size(col("toks")) - 2).cast("long"))
-        .withColumn("hs", expr(
-          "transform(sequence(1, size(toks) - 2), i -> " +
-            charFold("concat_ws(' ', element_at(toks, i), " +
-              "element_at(toks, i + 1), element_at(toks, i + 2))") + ")"))
-        .filter(col("m") >= 4)
-        .withColumn("keys", expr(
-          "array_distinct(transform(sequence(1, CAST(m AS INT) - 3), j -> " +
-            "array_min(transform(sequence(j, j + 3), i2 -> " +
-            "element_at(hs, i2) * 1048576L + (1048575L - i2)))))"))
-        .select(col("doc_id"), col("m").as("n_shingles"),
-          size(col("keys")).cast("long").as("n_fp"),
-          expr("aggregate(keys, 0L, " +
-            "(a, kk) -> (a + kk div 1048576) % 1000000007)").as("fp_sum"))
-        .orderBy(col("doc_id"))
-    })
+        |FROM sel ORDER BY doc_id""".stripMargin
 }
