@@ -249,5 +249,78 @@ object StreamMore {
           case None    => s.conf.unset(key)
         }
       }
+    },
+
+    // E12: transformWithState — Spark 4's arbitrary-state operator (the
+    // successor to mapGroupsWithState/q91): typed ValueState holding a
+    // per-user (count, cents) pair, updated per input row, emitted per
+    // batch in Update mode. State math is all-integer (cents via floor,
+    // the engine-agnostic direction), so the FINAL emission per user —
+    // recovered from the accumulating memory sink with a monotone
+    // max(struct) — equals the batch ground truth regardless of how the
+    // source splits into micro-batches. RocksDB provider required by
+    // the operator (and the point at 100 TB: per-user state lives
+    // off-heap, bounded by distinct keys, not events).
+    Q(
+      "q194_transform_with_state",
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE user_id < 30
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      StreamOps.withStateParts(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = StreamOps.eventsStreamFor(s, dir)
+            .filter(col("user_id") < 30)
+            .select(col("user_id").cast("long"),
+              floor(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+          val out = src.groupByKey(_._1)
+            .transformWithState(new RunningUserStats,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n", "total_cents")
+          StreamOps.runToMemoryFor(s, out, "update")
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n"), col("total_cents"))).as("m"))
+            .select(col("user_id"), col("m.n").as("n"),
+              col("m.total_cents").as("total_cents"))
+            .orderBy(col("user_id"))
+        } finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
     })
+
+  /** q194's StatefulProcessor: per-user running (event count, cent sum)
+    * in a single typed ValueState, emitted once per batch per key.
+    */
+  private class RunningUserStats
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var st: ss.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        ss.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: ss.TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      st.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
 }

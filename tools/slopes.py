@@ -49,7 +49,7 @@ FAMILIES = [
     ("lake maintenance", ["q109", "q135", "q136", "q152", "q155", "q162"]),
     ("streaming (fixed-cost state machinery)",
      ["q55", "q56", "q57", "q91", "q92", "q108", "q115", "q116", "q117",
-      "q123", "q125", "q142"]),
+      "q123", "q125", "q142", "q194"]),
     ("multimodal", ["q60", "q61", "q188", "q189"]),
 ]
 
