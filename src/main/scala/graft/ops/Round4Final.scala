@@ -233,6 +233,62 @@ object Round4Final {
           expr("aggregate(keys, 0L, " +
             "(a, kk) -> (a + kk div 1048576) % 1000000007)").as("fp_sum"))
         .orderBy(col("doc_id"))
+    },
+
+    // Pipeline/text: CROSS-SOURCE OVERLAP MATRIX — pairwise shingle
+    // Jaccard between sources, the corpus-curation diagnostic that
+    // answers "which sources are mirrors of each other" before any
+    // doc-level dedup runs (a high-overlap source pair means one of
+    // them should be down-weighted or dropped wholesale). Scale shape:
+    // (source, shingle) pairs are distinct'ed with a map-side partial
+    // agg; the self-join shuffles on the shingle value, and each
+    // shingle contributes at most C(|sources|, 2) pairs (sources are
+    // few and fixed — this is the safe direction of a value self-join);
+    // pair counts partial-agg again. All counts integer; jaccard is
+    // the one final division. At 100 TB, swap the shingle string for
+    // its 64-bit hash as the join key (q126's note) — same plan, ~10×
+    // narrower shuffle.
+    Q(
+      "q195_source_overlap",
+      s"""WITH ex AS (
+         |  SELECT source, unnest($duckShingles) AS sh FROM documents),
+         |ss AS (SELECT DISTINCT source, sh FROM ex),
+         |per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+         |  FROM ss GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, pa.n_sh AS n_a, pb.n_sh AS n_b,
+         |  i.n_common,
+         |  ROUND(CAST(i.n_common AS DOUBLE)
+         |    / (pa.n_sh + pb.n_sh - i.n_common), 6) AS jaccard
+         |FROM inter i
+         |JOIN per pa ON i.src_a = pa.source
+         |JOIN per pb ON i.src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val ss = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"), explode(expr(sparkShingles)).as("sh"))
+        .distinct()
+      val per = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = ss.select(col("source").as("src_a"), col("sh"))
+        .join(ss.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(per.select(col("source").as("src_a"),
+          col("n_sh").as("n_a"))), Seq("src_a"))
+        .join(broadcast(per.select(col("source").as("src_b"),
+          col("n_sh").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     })
 
   /** Winnowing selection kernel, factored so WinnowingPropSpec can drive

@@ -106,7 +106,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q176_pii_scrub", "q177_inverted_index", "q178_rendezvous_shard",
     "q180_boilerplate_scrub", "q183_adaptive_quality",
     "q184_semantic_dedup", "q186_curriculum_interleave",
-    "q190_ngram_novelty", "q191_hard_negative", "q193_winnowing")
+    "q190_ngram_novelty", "q191_hard_negative", "q193_winnowing",
+    "q195_source_overlap")
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()

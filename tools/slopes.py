@@ -43,7 +43,7 @@ FAMILIES = [
     ("pipeline ops", ["q126", "q128", "q129", "q131", "q132", "q133",
                       "q145", "q146", "q147", "q148", "q149", "q150",
                       "q165", "q176", "q178", "q180", "q181", "q182",
-                      "q185", "q186", "q192"]),
+                      "q185", "q186", "q192", "q195"]),
     ("behavioral/graph", ["q153", "q158", "q160", "q166", "q167", "q169",
                           "q170", "q187"]),
     ("lake maintenance", ["q109", "q135", "q136", "q152", "q155", "q162"]),
