@@ -72,6 +72,7 @@ object Round4Final {
       val d = Tables.table(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
       val ref = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .filter(size(col("toks")) >= 3)
         .select(explode(expr(sparkShingles)).as("sh")).distinct()
         .withColumn("seen", lit(1))
       val cand = d
@@ -271,6 +272,7 @@ object Round4Final {
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
       val ss = Tables.table(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
         .select(col("source"), explode(expr(sparkShingles)).as("sh"))
         .distinct()
       val per = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
@@ -296,7 +298,12 @@ object Round4Final {
     * (q43's polynomial char fold) -> per-window (w=4) packed-key min.
     * Output keeps doc_id plus m (shingle count) and keys (distinct
     * selected packed keys; hash = key div 2^20, pos = 2^20-1 - key mod
-    * 2^20). Docs with fewer than 6 tokens (no full window) are dropped.
+    * 2^20). Docs with fewer than 6 tokens (no full window) are dropped,
+    * as are docs with >= 2^20 shingles: beyond that the 20-bit position
+    * field would wrap and the packed-key min would stop implementing
+    * rightmost-min tie-breaking (the documented invariant). Both engines
+    * apply the same cap, so the gate stays aligned; a >1M-shingle doc
+    * (~4 MB of text) belongs in a chunked pass anyway.
     */
   private[graft] def winnowKeys(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -311,7 +318,7 @@ object Round4Final {
         "transform(sequence(1, size(toks) - 2), i -> " +
           charFold("concat_ws(' ', element_at(toks, i), " +
             "element_at(toks, i + 1), element_at(toks, i + 2))") + ")"))
-      .filter(col("m") >= 4)
+      .filter(col("m") >= 4 && col("m") < 1048576L)
       .withColumn("keys", expr(
         "array_distinct(transform(sequence(1, CAST(m AS INT) - 3), j -> " +
           "array_min(transform(sequence(j, j + 3), i2 -> " +
@@ -338,7 +345,7 @@ object Round4Final {
         |    list_distinct(list_transform(range(m - 3), j ->
         |      list_min(list_transform(range(4), o ->
         |        hs[j+o+1] * 1048576 + (1048575 - (j+o+1)))))) AS keys
-        |  FROM h WHERE m >= 4)
+        |  FROM h WHERE m >= 4 AND m < 1048576)
         |SELECT doc_id, CAST(m AS BIGINT) AS n_shingles,
         |  CAST(len(keys) AS BIGINT) AS n_fp,
         |  list_reduce(

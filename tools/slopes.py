@@ -72,8 +72,10 @@ def main():
     base_i = next((i for i, sf in enumerate(sfs)
                    if abs(sf - sfs[-1] / 10) < 1e-9), None)
     all_named = set()
+    decade = (f"sf{sfs[base_i]:g}→sf{sfs[-1]:g}"
+              if base_i is not None else "last decade")
     print("| family | " + " | ".join(f"sf{sf:g} (s)" for sf in sfs) +
-          " | slope(sf0.1→sf1) |")
+          f" | slope({decade}) |")
     print("|---|" + "---|" * (len(sfs) + 1))
 
     def fam_time(qmap, prefixes):
@@ -110,7 +112,7 @@ def main():
           " | ".join(f"**{t:.1f}**" for t in totals) + f" | **{tslope}** |")
 
     # the 10 worst per-query slopes over the last decade, for triage
-    print("\nWorst per-query slopes sf0.1→sf1 (t_sf1 >= 0.5s):")
+    print(f"\nWorst per-query slopes {decade} (t_sf{sfs[-1]:g} >= 0.5s):")
     worst = []
     base = qmaps[base_i] if base_i is not None else qmaps[-2]
     for q, t1 in qmaps[-1].items():
