@@ -11,8 +11,10 @@ import graft.functions.ArrayDot
   * coarse centroid (argmax dot, ties to lowest id); the query probes its
   * 2 nearest centroids' lists only, then ranks exactly. At 100 TB the
   * assignment is a write-time partition key and a probe touches 2/k of
-  * the corpus. Coarse centroids here are a deterministic stand-in (the
-  * first 4 vectors) for a k-means codebook.
+  * the corpus. The coarse codebook is TRAINED — [[KMeans.codebook]]'s
+  * deterministic fixed-point Lloyd iterations (k=4, 2 iterations) seeded
+  * from the first k vectors — not a raw-vector stand-in; the oracle
+  * replays the same training as an unrolled CTE chain.
   *
   * q75: element-wise centroid of each label group (the k-means "update"
   * step / class-prototype computation) via posexplode + per-(label,pos)
@@ -24,18 +26,19 @@ object Ivf {
     s"list_reduce(list_transform(range(len($a)), " +
       s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
+  private val K = 4
+  private val ITERS = 2
+
   val queries: Seq[Q] = Seq(
     Q(
       "q74_ann_ivf",
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < 4),
+      s"""WITH ${KMeans.oracleCtes(K, ITERS)},
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.cid ASC)
-         |      AS rn
-         |  FROM embeddings e, cent c),
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$ITERS c),
          |lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
          |probes AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -47,16 +50,19 @@ object Ivf {
          |LIMIT 5""".stripMargin) { (s, dir) =>
       ArrayDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
-      val cent = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cb = KMeans.codebook(s, e, K, ITERS)
+      // inverted lists: map-side argmax assignment under the broadcast
+      // trained codebook (no k-times row blow-up, no window)
+      val lists = KMeans.assign(e, cb)
+      // probe selection: top-2 centroids for the query vector — a k-row
+      // problem, window over the single query partition is free
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("cid").asc)
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("cdot", expr("array_dot(embedding, ce)"))
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(cb))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
         .withColumn("rn", row_number().over(w))
-      val lists = assign.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-      val probes = assign.filter(col("vec_id") === 0 && col("rn") <= 2)
+        .filter(col("rn") <= 2)
         .select(col("cid"))
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       lists.join(broadcast(probes), "cid")

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic distributed k-means codebook training (SURVEY.md §2.3
+  * E7 — the component every centroid-based scale path consumes: q74's
+  * IVF lists, q49's embedding-near-dup blocks, q184's SemDeDup
+  * clusters, q197's bucket telemetry).
+  *
+  * Lloyd's algorithm as an iterative dataflow, engineered so BOTH
+  * engines (Spark and the DuckDB oracle) produce bit-identical
+  * centroids under ANY partitioning:
+  *
+  *  - Coordinates are fixed-point BIGINTs: `floor(v * 1e6 + 0.5)`.
+  *    Cross-row aggregation (the centroid update) is therefore exact
+  *    integer math — partial-agg order cannot perturb it. This is
+  *    q187's PageRank discipline applied to vectors.
+  *  - The only floating-point value is the per-row assignment dot, a
+  *    fixed ascending fold over one vector and one broadcast centroid
+  *    — identical doubles in both engines, so argmax (ties to lowest
+  *    cid) picks the same centroid everywhere.
+  *  - Centroid update is `floorDiv(sum_scaled, count)` with an explicit
+  *    positive-remainder formulation, because BIGINT division truncates
+  *    toward zero in Spark and the oracle's `//` floors — subtracting
+  *    `pmod` first makes the division exact in both.
+  *  - Init is the first k vectors by vec_id (deterministic seed, the
+  *    k-means|| stand-in a reproducible pipeline wants); an empty
+  *    cluster keeps its previous centroid (LEFT JOIN + COALESCE).
+  *
+  * Scale shape: the assignment is a pure MAP stage — the k-row codebook
+  * collapses to a single broadcast array-of-structs row and the argmax
+  * is a per-row fold (no explode to k×n rows, no window). The update is
+  * q75's (cid, pos) shuffle — partial-aggregatable integer sums, never
+  * whole vectors. Each iteration ends in an eager localCheckpoint with
+  * a stats reset (the q174/q187 loop discipline) so plan lineage and
+  * join-size statistics cannot compound across iterations.
+  */
+object KMeans {
+
+  /** Fixed ascending dot-product fold (matches ArrayDot / the oracle's
+    * list_reduce: 0 + p0 + p1 + ... — IEEE-identical in both engines).
+    */
+  private[ops] def dotFold(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * " +
+      "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Scale a float vector to fixed-point BIGINTs (1e-6 resolution). */
+  private def scaleExpr(a: String): String =
+    s"transform($a, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) " +
+      "AS BIGINT))"
+
+  /** Collapse a (cid, cs) codebook to one broadcastable row holding the
+    * cid-sorted array of centroid structs.
+    */
+  private def centArr(cent: DataFrame): DataFrame =
+    cent.agg(expr("array_sort(collect_list(struct(cid, cs)))").as("cents"))
+
+  /** Assign every vector to its nearest centroid (max dot, ties to
+    * lowest cid) — a map-only stage against the broadcast codebook.
+    * Output: (vec_id, embedding, cid).
+    */
+  private[ops] def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr(cent)))
+      .withColumn("sel", expr(
+        "array_max(transform(cents, c -> " +
+          s"struct(${dotFold("embedding", "c.cs")} AS d, -c.cid AS nc)))"))
+      .select(col("vec_id"), col("embedding"), (-col("sel.nc")).as("cid"))
+
+  /** Train the codebook: k centroids, `iters` Lloyd iterations. Output:
+    * (cid BIGINT, cs ARRAY<BIGINT>) — fixed-point centroid vectors.
+    */
+  private[ops] def codebook(
+      s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("bigint").as("cid"),
+        expr(scaleExpr("embedding")).as("cs"))
+    for (_ <- 1 to iters) {
+      val upd = assign(e, cent)
+        .select(col("cid"),
+          posexplode(expr(scaleExpr("embedding"))).as(Seq("pos", "sval")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("sval")).as("ssum"), count(lit(1)).as("cnt"))
+        .withColumn("nval", expr("(ssum - pmod(ssum, cnt)) div cnt"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, nval))), " +
+          "p -> p.nval)").as("ncs"))
+      val next = cent.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncs"), col("cs")).as("cs"))
+      // eager checkpoint + stats reset: lineage and join-size estimates
+      // must not compound across iterations (see q174/q187)
+      val cp = next.localCheckpoint(true)
+      cent = s.createDataFrame(cp.rdd, cp.schema)
+    }
+    cent
+  }
+
+  // ---------------- DuckDB oracle: unrolled Lloyd iterations ----------
+
+  private[ops] def duckDot(emb: String, cs: String): String =
+    s"list_reduce(list_transform(range(len($emb)), " +
+      s"i -> CAST($emb[i+1] AS DOUBLE) * CAST($cs[i+1] AS DOUBLE)), " +
+      "(a, b) -> a + b)"
+
+  /** CTE chain `sv, cent0, cl0, as1, up1, cent1, cl1, ..., cl<iters>`
+    * replaying the exact same fixed-point Lloyd iterations in DuckDB.
+    * The final codebook is `cent<iters>` (long) / `cl<iters>` (lists).
+    */
+  private[ops] def oracleCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""sv AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+      |      AS BIGINT) AS sval
+      |  FROM embeddings),
+      |cent0 AS (SELECT vec_id AS cid, pos, sval AS cval FROM sv
+      |  WHERE vec_id < $k),
+      |cl0 AS (SELECT cid, list(cval ORDER BY pos) AS cs
+      |  FROM cent0 GROUP BY cid)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+      |as$i AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckDot("e.embedding", "c.cs")} DESC, c.cid ASC)
+      |        AS rn
+      |    FROM embeddings e, cl$p c) WHERE rn = 1),
+      |up$i AS (
+      |  SELECT a.cid, s.pos, CAST(SUM(s.sval) AS BIGINT) AS ssum,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM as$i a JOIN sv s ON a.vec_id = s.vec_id
+      |  GROUP BY a.cid, s.pos),
+      |cent$i AS (
+      |  SELECT p.cid, p.pos,
+      |    COALESCE((u.ssum - (((u.ssum % u.cnt) + u.cnt) % u.cnt)) // u.cnt,
+      |      p.cval) AS cval
+      |  FROM cent$p p LEFT JOIN up$i u
+      |    ON p.cid = u.cid AND p.pos = u.pos),
+      |cl$i AS (SELECT cid, list(cval ORDER BY pos) AS cs
+      |  FROM cent$i GROUP BY cid)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private val K = 8
+  private val ITERS = 3
+
+  val queries: Seq[Q] = Seq(
+    // E7: the codebook-training gate itself. Output: the full trained
+    // codebook in long form (cid, pos, cval fixed-point) plus each
+    // cluster's population under the final codebook. The oracle replays
+    // all three Lloyd iterations as an unrolled CTE chain — every
+    // centroid coordinate must match to the last fixed-point digit.
+    Q(
+      "q196_kmeans_codebook",
+      s"""WITH ${oracleCtes(K, ITERS)},
+         |asF AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cs")} DESC, c.cid ASC)
+         |        AS rn
+         |    FROM embeddings e, cl$ITERS c) WHERE rn = 1),
+         |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM asF GROUP BY cid)
+         |SELECT c.cid, CAST(c.pos AS BIGINT) AS pos, c.cval,
+         |  COALESCE(z.n, 0) AS n_members
+         |FROM cent$ITERS c LEFT JOIN sizes z ON c.cid = z.cid
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = codebook(s, e, K, ITERS)
+      val sizes = assign(e, cb).groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"))
+      cb.select(col("cid"), posexplode(col("cs")).as(Seq("pos", "cval")))
+        .join(broadcast(sizes), Seq("cid"), "left")
+        .select(col("cid"), col("pos").cast("bigint").as("pos"),
+          col("cval"), coalesce(col("n_members"), lit(0L)).as("n_members"))
+        .orderBy(col("cid"), col("pos"))
+    })
+}
