@@ -322,35 +322,59 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // E6 embedding-cosine near-dup: label-blocked pairs above a cosine
-    // threshold (vectors are unit-norm, so cosine = dot). The fold is
-    // sequential over dimensions in both engines → bit-identical doubles.
-    // Threshold 0.3 exercises the operator on this synthetic corpus (no
-    // true near-dups exist; max pairwise cosine ≈ 0.37).
+    // E6 embedding-cosine near-dup with a CORPUS-GROWING blocking key:
+    // candidates are pairs assigned to the same trained k-means centroid
+    // (KMeans.codebook, k = max(4, floor(sqrt(n))/2) — the centroid count
+    // scales with the corpus, so the expected block population stays
+    // ~2*sqrt(n) and within-block all-pairs work grows ~linearly in n,
+    // unlike the previous label-only key whose fixed cardinality went
+    // quadratic per bucket at scale). Cosine = dot (unit-norm vectors);
+    // the fold is sequential over dimensions in both engines →
+    // bit-identical doubles, and the oracle replays the identical
+    // fixed-point codebook training, so assignments agree exactly.
+    // Threshold 0.25 exercises the operator on this synthetic corpus (no
+    // true near-dups exist; max pairwise cosine ≈ 0.37). Like any LSH /
+    // coarse-quantizer candidate generator, same-block is the recall
+    // contract (q140 measures recall for the sibling paths).
     Q(
       "q49_embedding_neardup",
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_reduce(list_transform(range(len(a.embedding)),
-        |    i -> CAST(a.embedding[i+1] AS DOUBLE)
-        |       * CAST(b.embedding[i+1] AS DOUBLE)),
-        |    (x, y) -> x + y), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_reduce(list_transform(range(len(a.embedding)),
-        |    i -> CAST(a.embedding[i+1] AS DOUBLE)
-        |       * CAST(b.embedding[i+1] AS DOUBLE)),
-        |    (x, y) -> x + y) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      s"""WITH kk AS (
+         |  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+         |    AS BIGINT) // 2) AS k
+         |  FROM embeddings),
+         |${KMeans.oracleCtes("(SELECT k FROM kk)", 2)},
+         |asg AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |          c.cid ASC) AS rn
+         |    FROM embeddings e, cl2 c) WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(list_reduce(list_transform(range(len(a.embedding)),
+         |    i -> CAST(a.embedding[i+1] AS DOUBLE)
+         |       * CAST(b.embedding[i+1] AS DOUBLE)),
+         |    (x, y) -> x + y), 6) AS cosine
+         |FROM asg a JOIN asg b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE list_reduce(list_transform(range(len(a.embedding)),
+         |    i -> CAST(a.embedding[i+1] AS DOUBLE)
+         |       * CAST(b.embedding[i+1] AS DOUBLE)),
+         |    (x, y) -> x + y) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      val k = math.max(4L,
+        math.floor(math.sqrt(e.count().toDouble)).toLong / 2).toInt
+      val asg = KMeans.assign(e, KMeans.codebook(s, e, k, 2))
+      val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"))
       graft.functions.ArrayDot.register(s)
       // codegen dot (same ascending sequential fold as the oracle)
       val dot = expr("array_dot(emb_a, emb_b)")
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b") && dot >= 0.3)
+      a.join(b, Seq("cid"))
+        .filter(col("vec_a") < col("vec_b") && dot >= 0.25)
         .select(col("vec_a"), col("vec_b"), round(dot, 6).as("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     })

@@ -107,7 +107,13 @@ object KMeans {
     * replaying the exact same fixed-point Lloyd iterations in DuckDB.
     * The final codebook is `cent<iters>` (long) / `cl<iters>` (lists).
     */
-  private[ops] def oracleCtes(k: Int, iters: Int): String = {
+  private[ops] def oracleCtes(k: Int, iters: Int): String =
+    oracleCtes(k.toString, iters)
+
+  /** Variant with `k` as a SQL scalar expression (e.g. a subquery
+    * computing a corpus-size-scaled centroid count — q49).
+    */
+  private[ops] def oracleCtes(k: String, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""sv AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

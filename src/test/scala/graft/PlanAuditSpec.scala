@@ -186,11 +186,15 @@ class PlanAuditSpec extends AnyFunSuite {
   //   q46/q171  (lang, prefix-token, band)  — ppjoin composite
   //   q48       (lang, simhash-chunk, band) — pigeonhole composite
   //   q134      (lang, band)                — asymmetric banded probe
+  //   q49       (cid)                       — trained-centroid block; the
+  //             key CARDINALITY grows with the corpus (k ~ sqrt(n)/2),
+  //             unlike the label-only key it replaced
   private val compositeKeyed = Seq(
     "q46_ngram_jaccard"       -> Set("lang", "pt", "key"),
     "q171_prefix_filter_join" -> Set("lang", "pt", "key"),
     "q48_simhash"             -> Set("lang", "c", "key"),
-    "q134_incremental_dedup"  -> Set("lang", "key"))
+    "q134_incremental_dedup"  -> Set("lang", "key"),
+    "q49_embedding_neardup"   -> Set("cid"))
 
   test("q191 hard-negative mining aggregates, never windows") {
     checkEnv()
