@@ -21,7 +21,8 @@ object SparkEntry {
       DepthOps.queries ++ StreamMore.queries ++ QualityOps.queries ++
       PipelineOps.queries ++ LakeOps.queries ++ BehaviorOps.queries ++
       CorpusOps.queries ++ Round3Ops.queries ++ Round4Ops.queries ++
-      Round4More.queries ++ Round4Final.queries ++ KMeans.queries
+      Round4More.queries ++ Round4Final.queries ++ KMeans.queries ++
+      Round5Ops.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
