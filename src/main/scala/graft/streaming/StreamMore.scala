@@ -298,6 +298,63 @@ object StreamMore {
           case None    => s.conf.unset(key)
         }
       }
+    },
+
+    // E12 throughput gate: the ENTIRE events corpus through q194's
+    // transformWithState pipeline — every user keyed, every event
+    // folded into RocksDB-backed typed state — reduced to one summary
+    // row (user count, event count, exact cent total, and an
+    // order-independent per-user fingerprint), so correctness is
+    // oracle-checkable while the wall time of THIS query at a given SF
+    // measured by Bench IS the stateful-streaming throughput number
+    // SCALE.md records (events rows / seconds). All integer math; the
+    // per-user finals are recovered from the Update-mode sink with the
+    // same monotone max(struct) as q194, so the summary is invariant to
+    // micro-batch splits.
+    Q(
+      "q199_stream_throughput",
+      """WITH per_user AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST(CAST(SUM((user_id * 2654435761 + n * 97 + cents)
+        |    % 1000000007) AS BIGINT) % 1000000007 AS BIGINT) AS user_fp
+        |FROM per_user""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      StreamOps.withStateParts(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = StreamOps.eventsStreamFor(s, dir)
+            .select(col("user_id").cast("long"),
+              floor(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+          val out = src.groupByKey(_._1)
+            .transformWithState(new RunningUserStats,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n", "total_cents")
+          StreamOps.runToMemoryFor(s, out, "update")
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n"), col("total_cents"))).as("m"))
+            .select(col("user_id"), col("m.n").as("n"),
+              col("m.total_cents").as("cents"))
+            .agg(count(lit(1)).as("n_users"),
+              sum(col("n")).as("n_events"),
+              sum(col("cents")).as("total_cents"),
+              (sum((col("user_id") * 2654435761L + col("n") * 97L +
+                col("cents")) % 1000000007L) % 1000000007L).as("user_fp"))
+        } finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
     })
 
   /** q194's StatefulProcessor: per-user running (event count, cent sum)

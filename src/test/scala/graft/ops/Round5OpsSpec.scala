@@ -66,6 +66,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).toSeq == Seq(1L, 2L, 2L, 3L, 3L))
   }
 
+  test("q199: stateful-streaming throughput stays above the floor") {
+    assume(available, s"$dir absent — skipping")
+    val events = graft.Tables.table(spark, dir, "events").count()
+    val t0 = System.nanoTime()
+    val r = graft.SparkEntry.queries("q199_stream_throughput")(spark, dir)
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.getLong(1) == events, "pipeline dropped events")
+    // non-regression floor, deliberately generous (sf0.001 wall time is
+    // dominated by micro-batch bootstrap): catches a 100x throughput
+    // regression (e.g. state store thrash, per-row commit), never flakes
+    // on scheduler noise. SCALE.md records the real rows/s at sf1.
+    val rowsPerSec = events / sec
+    assert(rowsPerSec > 25,
+      f"transformWithState throughput $rowsPerSec%.0f rows/s < 25 floor")
+  }
+
   test("q200: 64-bit content digests are collision-free on the corpus") {
     assume(available, s"$dir absent — skipping")
     val r = graft.SparkEntry.queries("q200_dedup_hash_path")(spark, dir)
