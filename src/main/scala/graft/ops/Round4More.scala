@@ -275,26 +275,20 @@ object Round4More {
     // the near-dup family audits, never an unblocked cross join.
     Q(
       "q184_semantic_dedup",
-      """WITH uni AS (
+      s"""WITH uni AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000, embedding FROM embeddings
         |  WHERE vec_id % 25 = 0),
-        |cent AS (
-        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-        |  WHERE vec_id < 32),
-        |dots AS (
-        |  SELECT u.vec_id, u.embedding, c.cid,
-        |    list_reduce(list_transform(range(len(u.embedding)),
-        |      i -> CAST(u.embedding[i+1] AS DOUBLE)
-        |         * CAST(c.ce[i+1] AS DOUBLE)), (x, y) -> x + y) AS d
-        |  FROM uni u, cent c),
+        |kk AS (${Round5Ops.duckScaledK}),
+        |${KMeans.oracleCtes("(SELECT k FROM kk)", 2)},
         |asg AS (
         |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT vec_id, embedding, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |        ORDER BY d DESC, cid ASC) AS rn
-        |    FROM dots) WHERE rn = 1),
+        |    SELECT u.vec_id, u.embedding, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+        |        ORDER BY ${KMeans.duckDot("u.embedding", "c.cs")} DESC,
+        |          c.cid ASC) AS rn
+        |    FROM uni u, cl2 c) WHERE rn = 1),
         |prs AS (
         |  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
         |  FROM asg a JOIN asg b
@@ -317,15 +311,13 @@ object Round4More {
       val uni = e.select(col("vec_id"), col("embedding"))
         .unionAll(e.filter(col("vec_id") % 25 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      val cent = e.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").desc, col("cid").asc)
-      val asg = uni.crossJoin(broadcast(cent))
-        .withColumn("d", expr("array_dot(embedding, ce)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+      // TRAINED codebook (round 5): centroid count scales with the
+      // corpus (k = max(4, floor(sqrt(n))/2), like q49's blocks) and
+      // the centroids come from KMeans.codebook's fixed-point Lloyd
+      // iterations, not from raw sample vectors; assignment is the
+      // map-only broadcast argmax
+      val k = Round5Ops.scaledK(e.count())
+      val asg = KMeans.assign(uni, KMeans.codebook(s, e, k, 2))
       val a = asg.select(col("cid"), col("vec_id").as("va"),
         col("embedding").as("ea"))
       val b = asg.select(col("cid"), col("vec_id").as("vb"),

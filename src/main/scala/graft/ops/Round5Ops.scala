@@ -24,9 +24,28 @@ object Round5Ops {
   private[ops] def scaledK(n: Long): Int =
     math.max(4L, math.floor(math.sqrt(n.toDouble)).toLong / 2).toInt
 
-  private val duckScaledK =
+  private[ops] val duckScaledK =
     "SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) " +
       "AS BIGINT) // 2) AS k FROM embeddings"
+
+  /** Corpus-scaling signature width: smallest w in [4, 24] with
+    * 2^w * 64 >= n, so the expected bucket population stays ~64 no
+    * matter the corpus size — the "derive the constants from N" the
+    * fixed 8-bit demo signature lacked. A 100 TB corpus (n ~ 1e10)
+    * lands at w = 24 (16.7M buckets).
+    */
+  private[ops] def sigBits(n: Long): Int = {
+    var w = 4
+    while (w < 24 && (64L << w) < n) w += 1
+    w
+  }
+
+  /** The same width formula as a pure integer SQL CASE chain (no
+    * floating log2 — engine-exact at every boundary).
+    */
+  private val duckSigBits: String =
+    "CASE " + (4 to 23).map(w => s"WHEN n <= ${64L << w} THEN $w")
+      .mkString(" ") + " ELSE 24 END"
 
   /** One-row integer bucket-population stats for a (bucket, size) frame:
     * item count, bucket count, max bucket, mean×100, max-bucket share in
@@ -151,6 +170,45 @@ object Round5Ops {
       bucketStats("centroid", cents)
         .unionAll(bucketStats("hyperplane", sigs))
         .orderBy(col("path"))
+    },
+
+    // E7 scale parameterization: the hyperplane signature with its
+    // width DERIVED from the corpus size (w = smallest in [4,24] with
+    // 2^w * 64 >= n) instead of the fixed 8 bits q52 demonstrates —
+    // per-probe candidate count stays ~64 = O(1) as the corpus grows,
+    // not O(corpus/256). Narrower signatures are prefixes of wider
+    // ones (same plane LCG), so re-widening as a corpus grows only
+    // splits buckets, never reshuffles them. Output is the q197-style
+    // bucket telemetry plus the chosen width, all exact integers.
+    Q(
+      "q201_scaled_sig_stats",
+      s"""WITH ww AS (
+         |  SELECT $duckSigBits AS w
+         |  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+         |sg AS (
+         |  SELECT ${Similarity.sigExprDuckW("embedding", "(SELECT w FROM ww)")}
+         |    AS sig
+         |  FROM embeddings),
+         |sb AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS bs
+         |  FROM sg GROUP BY sig)
+         |SELECT 'scaled_sig' AS path,
+         |  CAST((SELECT w FROM ww) AS BIGINT) AS sig_bits,
+         |  CAST(SUM(bs) AS BIGINT) AS n_items,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  MAX(bs) AS max_bucket,
+         |  (CAST(SUM(bs) AS BIGINT) * 100) // COUNT(*) AS mean_x100,
+         |  (MAX(bs) * 1000000) // CAST(SUM(bs) AS BIGINT) AS max_share_ppm,
+         |  (MAX(bs) * 100 * COUNT(*)) // CAST(SUM(bs) AS BIGINT)
+         |    AS skew_x100
+         |FROM sb""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val w = sigBits(e.count())
+      val sb = Similarity.withSigW(s, e, w)
+        .groupBy(col("sig")).agg(count(lit(1)).as("bs"))
+      bucketStats("scaled_sig", sb)
+        .select(col("path"), lit(w.toLong).as("sig_bits"), col("n_items"),
+          col("n_buckets"), col("max_bucket"), col("mean_x100"),
+          col("max_share_ppm"), col("skew_x100"))
     },
 
     // Lake: the transactional envelope around q135's MERGE — optimistic

@@ -46,8 +46,15 @@ object Similarity {
     * hyperplanes (the Spark side uses codegen array_dot against literal
     * plane vectors built from the same integer LCG — identical doubles).
     */
-  private[ops] def sigExprDuck(v: String): String =
-    "list_sum(list_transform(range(8), j -> " +
+  private[ops] def sigExprDuck(v: String): String = sigExprDuckW(v, "8")
+
+  /** Width-parameterized variant: `w` is any SQL scalar expression (e.g.
+    * a subquery deriving the signature width from the corpus size —
+    * q201). Same plane LCG, so an 8-bit signature is a prefix of a
+    * wider one.
+    */
+  private[ops] def sigExprDuckW(v: String, w: String): String =
+    s"list_sum(list_transform(range(CAST($w AS BIGINT)), j -> " +
       s"CASE WHEN list_reduce(list_transform(range(64), i -> " +
       s"CAST($v[i + 1] AS DOUBLE) * $planeSql), (acc, x) -> acc + x) > 0 " +
       "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"
@@ -59,9 +66,19 @@ object Similarity {
     */
   private[ops] def withSig(
       s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withSigW(s, df, 8)
+
+  /** Width-parameterized variant (q201): `w` sign-bit planes from the
+    * same integer LCG, so narrower signatures are prefixes of wider
+    * ones and the width can scale with the corpus.
+    */
+  private[ops] def withSigW(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.ArrayDot.register(s)
-    val planes = (0 until 8).map { j =>
+    val planes = (0 until w).map { j =>
       typedLit((0 until 64).map { i =>
         ((1103515245L * (j * 64 + i) + 12345) % 2147483648L) /
           2147483648.0 - 0.5
@@ -70,7 +87,7 @@ object Similarity {
     val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
       d.withColumn(s"plane_$j", p)
     }
-    val sigCol = (0 until 8).map { j =>
+    val sigCol = (0 until w).map { j =>
       when(expr(s"array_dot(embedding, plane_$j)") > 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)

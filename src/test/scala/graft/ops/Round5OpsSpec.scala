@@ -42,6 +42,21 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q201: the corpus-scaled signature stays bucket-bounded and " +
+    "sizes itself to ~64-item buckets") {
+    assume(available, s"$dir absent — skipping")
+    val r = graft.SparkEntry.queries("q201_scaled_sig_stats")(spark, dir)
+      .collect().head
+    val (bits, nItems, nBuckets, skewX100) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7))
+    assert(bits == Round5Ops.sigBits(nItems).toLong)
+    assert(nBuckets > 1 && skewX100 < 2000,
+      s"scaled signature degenerated: $nBuckets buckets, skew $skewX100")
+    // the width formula's contract: expected bucket population <= 64
+    assert(nItems <= (64L << bits),
+      "signature width under-scaled for the corpus")
+  }
+
   test("q198: conflicted and replayed commits provably leave the table " +
     "state unchanged") {
     assume(available, s"$dir absent — skipping")
