@@ -47,7 +47,7 @@ object KMeans {
       "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
   /** Scale a float vector to fixed-point BIGINTs (1e-6 resolution). */
-  private def scaleExpr(a: String): String =
+  private[ops] def scaleExpr(a: String): String =
     s"transform($a, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) " +
       "AS BIGINT))"
 
@@ -113,40 +113,52 @@ object KMeans {
   /** Variant with `k` as a SQL scalar expression (e.g. a subquery
     * computing a corpus-size-scaled centroid count — q49).
     */
-  private[ops] def oracleCtes(k: String, iters: Int): String = {
+  private[ops] def oracleCtes(k: String, iters: Int): String =
+    oracleCtesSlice(k, iters, 0, 0, "")
+
+  /** Fully parameterized variant: trains on `list_slice(embedding,
+    * off+1, off+len)` (len = 0 → the full vector) and suffixes every
+    * CTE name with `tag`, so q202's product quantizer can lay M
+    * independent per-subspace Lloyd chains side by side in one WITH.
+    */
+  private[ops] def oracleCtesSlice(
+      k: String, iters: Int, off: Int, len: Int, tag: String): String = {
+    def emb(p: String): String =
+      if (len == 0) s"${p}embedding"
+      else s"list_slice(${p}embedding, ${off + 1}, ${off + len})"
     val sb = new StringBuilder
-    sb ++= s"""sv AS (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+    sb ++= s"""sv$tag AS (
+      |  SELECT vec_id, generate_subscripts(${emb("")}, 1) - 1 AS pos,
+      |    CAST(FLOOR(CAST(unnest(${emb("")}) AS DOUBLE) * 1000000 + 0.5)
       |      AS BIGINT) AS sval
       |  FROM embeddings),
-      |cent0 AS (SELECT vec_id AS cid, pos, sval AS cval FROM sv
+      |cent0$tag AS (SELECT vec_id AS cid, pos, sval AS cval FROM sv$tag
       |  WHERE vec_id < $k),
-      |cl0 AS (SELECT cid, list(cval ORDER BY pos) AS cs
-      |  FROM cent0 GROUP BY cid)""".stripMargin
+      |cl0$tag AS (SELECT cid, list(cval ORDER BY pos) AS cs
+      |  FROM cent0$tag GROUP BY cid)""".stripMargin
     for (i <- 1 to iters) {
       val p = i - 1
       sb ++= s""",
-      |as$i AS (
+      |as$i$tag AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT e.vec_id, c.cid,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |        ORDER BY ${duckDot("e.embedding", "c.cs")} DESC, c.cid ASC)
+      |        ORDER BY ${duckDot(emb("e."), "c.cs")} DESC, c.cid ASC)
       |        AS rn
-      |    FROM embeddings e, cl$p c) WHERE rn = 1),
-      |up$i AS (
+      |    FROM embeddings e, cl$p$tag c) WHERE rn = 1),
+      |up$i$tag AS (
       |  SELECT a.cid, s.pos, CAST(SUM(s.sval) AS BIGINT) AS ssum,
       |    CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM as$i a JOIN sv s ON a.vec_id = s.vec_id
+      |  FROM as$i$tag a JOIN sv$tag s ON a.vec_id = s.vec_id
       |  GROUP BY a.cid, s.pos),
-      |cent$i AS (
+      |cent$i$tag AS (
       |  SELECT p.cid, p.pos,
       |    COALESCE((u.ssum - (((u.ssum % u.cnt) + u.cnt) % u.cnt)) // u.cnt,
       |      p.cval) AS cval
-      |  FROM cent$p p LEFT JOIN up$i u
+      |  FROM cent$p$tag p LEFT JOIN up$i$tag u
       |    ON p.cid = u.cid AND p.pos = u.pos),
-      |cl$i AS (SELECT cid, list(cval ORDER BY pos) AS cs
-      |  FROM cent$i GROUP BY cid)""".stripMargin
+      |cl$i$tag AS (SELECT cid, list(cval ORDER BY pos) AS cs
+      |  FROM cent$i$tag GROUP BY cid)""".stripMargin
     }
     sb.result()
   }
