@@ -1,13 +1,15 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Product quantization — the compression half of an IVF-PQ vector
-  * index (SURVEY.md §2.3 E7; completes the codebook story q196 opened:
-  * q74 trains the COARSE quotient codebook, this gate trains the M
-  * per-subspace RESIDUAL-style codebooks and scores by asymmetric
-  * distance computation).
+/** Product quantization + the composed IVF-PQ search path (SURVEY.md
+  * §2.3 E7; completes the codebook story q196 opened: q74 trains the
+  * COARSE quotient codebook, q202 trains the M per-subspace codebooks
+  * and scores by asymmetric distance computation, and q207 composes
+  * probe + ADC into the full index search).
   *
   * Design, and why it scales to 100 TB of vectors:
   *  - The 64-d embedding splits into M=4 contiguous 16-d subspaces;
@@ -30,17 +32,21 @@ import graft.Tables
   *    TakeOrderedAndProject (per-partition heaps + driver merge of 10,
   *    never a global sort); the recall flag joins the two 10-row sides
   *    with an explicit broadcast.
+  *  - q207 trains PQ on the raw vectors (the IVFFlat-PQ variant, not
+  *    residual-PQ) — the deterministic choice; the probe step bounds
+  *    the ADC stage to the 2 probed coarse lists exactly as q74 does.
   *
   * Reference scope: the reference has no vector index at all — this is
   * part of the training-data-pipeline mandate (ANN over an embedding
-  * column, baseline brute force q50, scale path IVF q74 + PQ here).
+  * column, baseline brute force q50, scale paths IVF q74 / PQ q202 /
+  * IVF-PQ q207).
   */
 object Pq {
 
-  private val M = 4 // subspaces
-  private val SUB = 16 // dims per subspace (embeddings are 64-d)
-  private val K = 8 // codewords per subspace
-  private val ITERS = 2 // Lloyd iterations per subspace
+  private[ops] val M = 4 // subspaces
+  private[ops] val SUB = 16 // dims per subspace (embeddings are 64-d)
+  private[ops] val K = 8 // codewords per subspace
+  private[ops] val ITERS = 2 // Lloyd iterations per subspace
 
   /** Exact integer dot over two fixed-point BIGINT arrays (ascending
     * fold; order-free because integer addition is associative).
@@ -58,85 +64,125 @@ object Pq {
     s"list_transform($a, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 " +
       "+ 0.5) AS BIGINT))"
 
+  // ---------------- shared Spark-side builders ----------------------
+
+  /** Train the M per-subspace codebooks and collapse them to one
+    * broadcastable row: array of (sub, cid, cs) structs.
+    */
+  private def trainPq(s: SparkSession, e: DataFrame): DataFrame =
+    (0 until M).map { m =>
+      val sub = e.select(col("vec_id"),
+        expr(s"slice(embedding, ${m * SUB + 1}, $SUB)").as("embedding"))
+      KMeans.codebook(s, sub, K, ITERS)
+        .select(lit(m).as("sub"), col("cid"), col("cs"))
+    }.reduce(_.unionByName(_))
+      .agg(expr("array_sort(collect_list(struct(sub, cid, cs)))").as("cbs"))
+
+  /** Encode `in` (vec_id, embedding) against the broadcast codebook row
+    * and score: (vec_id, adc, exact) — one broadcast-joined map stage.
+    */
+  private def adcScore(
+      in: DataFrame, cbRow: DataFrame, q0: DataFrame): DataFrame = {
+    val base = in
+      .crossJoin(broadcast(cbRow))
+      .crossJoin(broadcast(q0))
+      .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
+    val coded = (0 until M).foldLeft(base) { (df, m) =>
+      df.withColumn(s"c$m", expr(
+        s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
+          s"c -> struct(${intDot(s"slice(sv, ${m * SUB + 1}, $SUB)",
+            "c.cs")} AS d, -c.cid AS nc))).nc"))
+    }
+    val adcSum = (0 until M).map { m =>
+      intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
+        s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
+    }.mkString("(", ") + (", ")")
+    coded
+      .withColumn("adc", expr(adcSum))
+      .withColumn("exact", expr(intDot("sv", "qs")))
+      .select(col("vec_id"), col("adc"), col("exact"))
+  }
+
+  private def scaledQuery(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") === 0)
+      .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+
+  /** Exact integer scores only (no PQ): (vec_id, exact). */
+  private def exactScore(in: DataFrame, q0: DataFrame): DataFrame =
+    in.crossJoin(broadcast(q0))
+      .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
+      .select(col("vec_id"), expr(intDot("sv", "qs")).as("exact"))
+
+  // ---------------- shared oracle builders ---------------------------
+
+  /** The M side-by-side per-subspace Lloyd chains. */
+  private def pqChains: String =
+    (0 until M)
+      .map(m => KMeans.oracleCtesSlice(K.toString, ITERS, m * SUB, SUB,
+        s"_s$m"))
+      .mkString(",\n")
+
+  /** Per-subspace encode CTEs `enc0..enc{M-1}` over source CTE `src`
+    * (must expose vec_id + embedding).
+    */
+  private def pqEncs(src: String): String =
+    (0 until M).map { m =>
+      val sliced = duckScaled(
+        s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
+      s"""enc$m AS (
+         |  SELECT vec_id, cs FROM (
+         |    SELECT e.vec_id, c.cs,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckIntDot(sliced, "c.cs")} DESC, c.cid ASC)
+         |        AS rn
+         |    FROM $src e, cl${ITERS}_s$m c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def pqAdcSum: String =
+    (0 until M).map { m =>
+      duckIntDot(s"list_slice(q.qs, ${m * SUB + 1}, ${(m + 1) * SUB})",
+        s"e$m.cs")
+    }.mkString("(", ") + (", ")")
+
+  private def pqEncJoins: String =
+    (0 until M)
+      .map(m => s"JOIN enc$m e$m ON v.vec_id = e$m.vec_id")
+      .mkString("\n  ")
+
+  private val qvCte: String =
+    s"qv AS (SELECT ${duckScaled("embedding")} AS qs\n" +
+      "  FROM embeddings WHERE vec_id = 0)"
+
+  // ---------------- gates --------------------------------------------
+
+  private val CK = 4 // coarse centroids (q74's codebook)
+  private val CITERS = 2
+  private val NPROBE = 2
+
   val queries: Seq[Q] = Seq(
     Q(
       "q202_pq_adc",
-      {
-        val chains = (0 until M)
-          .map(m => KMeans.oracleCtesSlice(K.toString, ITERS, m * SUB, SUB,
-            s"_s$m"))
-          .mkString(",\n")
-        val encs = (0 until M).map { m =>
-          val sliced = duckScaled(
-            s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
-          s"""enc$m AS (
-             |  SELECT vec_id, cs FROM (
-             |    SELECT e.vec_id, c.cs,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${duckIntDot(sliced, "c.cs")} DESC, c.cid ASC)
-             |        AS rn
-             |    FROM embeddings e, cl${ITERS}_s$m c) WHERE rn = 1)"""
-            .stripMargin
-        }.mkString(",\n")
-        val adcSum = (0 until M).map { m =>
-          duckIntDot(s"list_slice(q.qs, ${m * SUB + 1}, ${(m + 1) * SUB})",
-            s"e$m.cs")
-        }.mkString("(", ") + (", ")")
-        val encJoins = (0 until M)
-          .map(m => s"JOIN enc$m e$m ON v.vec_id = e$m.vec_id")
-          .mkString("\n  ")
-        s"""WITH $chains,
-           |$encs,
-           |qv AS (SELECT ${duckScaled("embedding")} AS qs
-           |  FROM embeddings WHERE vec_id = 0),
-           |scored AS (
-           |  SELECT v.vec_id, $adcSum AS adc,
-           |    ${duckIntDot(duckScaled("v.embedding"), "q.qs")} AS exact
-           |  FROM embeddings v, qv q
-           |  $encJoins
-           |  WHERE v.vec_id <> 0),
-           |tope AS (SELECT vec_id FROM scored
-           |  ORDER BY exact DESC, vec_id ASC LIMIT 10)
-           |SELECT s.vec_id, s.adc, s.exact,
-           |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
-           |    AS in_exact
-           |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
-           |  LIMIT 10) s
-           |LEFT JOIN tope t ON s.vec_id = t.vec_id
-           |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH $pqChains,
+         |${pqEncs("embeddings")},
+         |$qvCte,
+         |scored AS (
+         |  SELECT v.vec_id, $pqAdcSum AS adc,
+         |    ${duckIntDot(duckScaled("v.embedding"), "q.qs")} AS exact
+         |  FROM embeddings v, qv q
+         |  $pqEncJoins
+         |  WHERE v.vec_id <> 0),
+         |tope AS (SELECT vec_id FROM scored
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.adc, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      // train one codebook per subspace on the sliced vectors
-      val cbs = (0 until M).map { m =>
-        val sub = e.select(col("vec_id"),
-          expr(s"slice(embedding, ${m * SUB + 1}, $SUB)").as("embedding"))
-        KMeans.codebook(s, sub, K, ITERS)
-          .select(lit(m).as("sub"), col("cid"), col("cs"))
-      }.reduce(_.unionByName(_))
-      val cbRow =
-        cbs.agg(expr("array_sort(collect_list(struct(sub, cid, cs)))")
-          .as("cbs"))
-      val q0 = e.filter(col("vec_id") === 0)
-        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      // encode + ADC score: one broadcast-joined map stage
-      val base = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cbRow))
-        .crossJoin(broadcast(q0))
-        .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
-      val coded = (0 until M).foldLeft(base) { (df, m) =>
-        df.withColumn(s"c$m", expr(
-          s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
-            s"c -> struct(${intDot(s"slice(sv, ${m * SUB + 1}, $SUB)",
-              "c.cs")} AS d, -c.cid AS nc))).nc"))
-      }
-      val adcSum = (0 until M).map { m =>
-        intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
-          s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
-      }.mkString("(", ") + (", ")")
-      val scored = coded
-        .withColumn("adc", expr(adcSum))
-        .withColumn("exact", expr(intDot("sv", "qs")))
-        .select(col("vec_id"), col("adc"), col("exact"))
+      val scored = adcScore(e.filter(col("vec_id") =!= 0), trainPq(s, e),
+        scaledQuery(e))
       val exactTop = scored
         .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), lit(1).as("hit"))
@@ -144,6 +190,78 @@ object Pq {
         .join(broadcast(exactTop), Seq("vec_id"), "left")
         .select(col("vec_id"), col("adc"), col("exact"),
           coalesce(col("hit"), lit(0)).as("in_exact"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+    },
+
+    // E7: the COMPOSED index — coarse probe (q74's trained IVF) bounds
+    // the candidate set to NPROBE lists, then PQ-ADC (q202) ranks the
+    // candidates; the recall flag compares against the GLOBAL exact
+    // top-10, so the gate measures what the whole pipeline loses, and
+    // n_cand records how small the probed slice was (the 100 TB
+    // story: search touches ~NPROBE/CK of the corpus, scored against
+    // M-byte codes — reading neither all vectors nor full vectors).
+    Q(
+      "q207_ivf_pq_search",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |$pqChains,
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |  AND rn <= $NPROBE),
+         |cand AS (
+         |  SELECT l.vec_id, l.embedding
+         |  FROM (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1) l
+         |  JOIN probes p ON l.cid = p.cid
+         |  WHERE l.vec_id <> 0),
+         |${pqEncs("cand")},
+         |$qvCte,
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         |scored AS (
+         |  SELECT v.vec_id, $pqAdcSum AS adc,
+         |    ${duckIntDot(duckScaled("v.embedding"), "q.qs")} AS exact
+         |  FROM cand v, qv q
+         |  $pqEncJoins),
+         |tope AS (
+         |  SELECT v.vec_id FROM embeddings v, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${duckIntDot(duckScaled("v.embedding"), "q.qs")} DESC,
+         |    v.vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.adc, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, n.n_cand
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val lists = KMeans.assign(e, coarse)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NPROBE)
+        .select(col("cid"))
+      val cand = lists.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val q0 = scaledQuery(e)
+      val scored = adcScore(cand, trainPq(s, e), q0)
+      val globalTop = exactScore(e.filter(col("vec_id") =!= 0), q0)
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+      scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nc))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
         .orderBy(col("adc").desc, col("vec_id").asc)
     })
 }
