@@ -107,7 +107,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q180_boilerplate_scrub", "q183_adaptive_quality",
     "q184_semantic_dedup", "q186_curriculum_interleave",
     "q190_ngram_novelty", "q191_hard_negative", "q193_winnowing",
-    "q195_source_overlap")
+    "q195_source_overlap",
+    // round-5 gates: the span family's windows must stay keyed on
+    // (da, db, diag); the ANN gates' probe/top-k stages must never
+    // collapse to a global single-partition sort
+    "q204_duplicated_spans", "q205_importance_ratio",
+    "q206_span_scrub_apply", "q207_ivf_pq_search")
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()
@@ -158,7 +163,10 @@ class PlanAuditSpec extends AnyFunSuite {
     checkEnv()
     Seq("q10_join_inner_broadcast", "q16_regional_volume", "q172_skyline",
       "q182_range_boundaries", "q184_semantic_dedup", "q187_pagerank",
-      "q191_hard_negative", "q192_epoch_waterfill")
+      "q191_hard_negative", "q192_epoch_waterfill",
+      // round 5: PQ codebook row, importance-weight array, and the
+      // IVF probe list must all ship as broadcasts, never shuffles
+      "q202_pq_adc", "q205_importance_ratio", "q207_ivf_pq_search")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
