@@ -22,7 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset (comma-separated names): targeted measurements —
+    // e.g. the q199 streaming-throughput number SCALE.md records
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up: exercise codegen + readers once per query, untimed
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
