@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -7,7 +8,8 @@ import graft.Tables
   * pipeline (SURVEY.md §2.3 E8; q143 counts tokens with a FIXED
   * BPE-ish rule, this gate TRAINS the merge table itself, the step a
   * real training-data pipeline runs before any token budget can be
-  * enforced).
+  * enforced). q210 (Round5Final) closes the loop by APPLYING the
+  * trained merges to encode the corpus.
   *
   * Byte-pair encoding as an iterative dataflow, deterministic in both
   * engines:
@@ -37,7 +39,7 @@ import graft.Tables
   */
 object Bpe {
 
-  private val STEPS = 5
+  private[ops] val STEPS = 5
 
   /** Symbol array from the delimited form (symbols are a-z only, so
     * trimming the outer pipes and splitting on `||` is exact).
@@ -47,11 +49,58 @@ object Bpe {
   /** Corpus-weighted symbol count of the current segmentation: each
     * symbol contributes exactly 2 pipes, so count pipes — no split.
     */
-  private val nSyms =
+  private[ops] val nSyms =
     "CAST(SUM(f * ((length(s) - length(replace(s, '|', ''))) div 2)) " +
       "AS BIGINT)"
 
-  private def oracle: String = {
+  /** Global (freq, delimited-symbols) vocabulary of the corpus — the
+    * one corpus-scale scan; everything after rides |vocab|.
+    */
+  private[ops] def globalWords(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", "|$1|").as("s"))
+
+  /** Run STEPS merge-training iterations from the checkpointed w0.
+    * Returns, per step, the 1-row winning-pair frame (pa, pb, cnt) and
+    * the vocabulary AFTER applying that merge (checkpointed).
+    */
+  private[ops] def trainSteps(
+      s: SparkSession, w0: DataFrame): Seq[(DataFrame, DataFrame)] = {
+    val cp0 = w0.localCheckpoint(true)
+    var wf = s.createDataFrame(cp0.rdd, cp0.schema)
+    var out: Seq[(DataFrame, DataFrame)] = Nil
+    for (_ <- 1 to STEPS) {
+      val best = wf
+        .select(col("f"), explode(expr(
+          s"zip_with(slice($arr, 1, size($arr) - 1), " +
+            s"slice($arr, 2, size($arr) - 1), " +
+            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("f")).as("cnt"))
+        .agg(max(struct(col("cnt"), col("pa"), col("pb"))).as("b"))
+        .select(col("b.pa").as("pa"), col("b.pb").as("pb"),
+          col("b.cnt").as("cnt"))
+      val merged = wf.crossJoin(broadcast(best))
+        .withColumn("s", expr(
+          "replace(s, '|' || pa || '||' || pb || '|', " +
+            "'|' || pa || pb || '|')"))
+        .select(col("f"), col("s"))
+      // eager checkpoint + stats reset each merge round (q174/q187)
+      val cp = merged.localCheckpoint(true)
+      wf = s.createDataFrame(cp.rdd, cp.schema)
+      out = out :+ (best, wf)
+    }
+    out
+  }
+
+  /** Oracle CTE chain `w0, p1, b1, w1, n1, ..., b<STEPS>, w<STEPS>,
+    * n<STEPS>` replaying the same training in DuckDB. b<t> is the step-t
+    * winning pair; w<t> the vocabulary after applying it.
+    */
+  private[ops] def trainCtes: String = {
     val sb = new StringBuilder
     sb ++= """w0 AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS f,
@@ -80,51 +129,26 @@ object Bpe {
       |    length(replace(s, '|', ''))) // 2)) AS BIGINT) AS n_syms
       |  FROM w$t)""".stripMargin
     }
-    sb ++= (1 to STEPS).map { t =>
+    sb.result()
+  }
+
+  private def oracle: String =
+    "WITH " + trainCtes + (1 to STEPS).map { t =>
       s"""SELECT CAST($t AS BIGINT) AS step, b.pa, b.pb, b.cnt, n.n_syms
          |FROM b$t b, n$t n""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
-    "WITH " + sb.result()
-  }
 
   val queries: Seq[Q] = Seq(
     Q("q203_bpe_train", oracle) { (s, dir) =>
       val d = Tables.table(s, dir, "documents")
-      val words = d
-        .select(explode(split(col("text"), " ")).as("w0"))
-        .select(lower(col("w0")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .select(col("f"), regexp_replace(col("w"), "(.)", "|$1|").as("s"))
-      val cp0 = words.localCheckpoint(true)
-      var wf = s.createDataFrame(cp0.rdd, cp0.schema)
-      var outs: Seq[org.apache.spark.sql.DataFrame] = Nil
-      for (t <- 1 to STEPS) {
-        val best = wf
-          .select(col("f"), explode(expr(
-            s"zip_with(slice($arr, 1, size($arr) - 1), " +
-              s"slice($arr, 2, size($arr) - 1), " +
-              "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(sum(col("f")).as("cnt"))
-          .agg(max(struct(col("cnt"), col("pa"), col("pb"))).as("b"))
-          .select(col("b.pa").as("pa"), col("b.pb").as("pb"),
-            col("b.cnt").as("cnt"))
-        val merged = wf.crossJoin(broadcast(best))
-          .withColumn("s", expr(
-            "replace(s, '|' || pa || '||' || pb || '|', " +
-              "'|' || pa || pb || '|')"))
-          .select(col("f"), col("s"))
-        // eager checkpoint + stats reset each merge round (q174/q187)
-        val cp = merged.localCheckpoint(true)
-        wf = s.createDataFrame(cp.rdd, cp.schema)
+      val steps = trainSteps(s, globalWords(d))
+      steps.zipWithIndex.map { case ((best, wf), i) =>
         val nsy = wf.agg(expr(nSyms).as("n_syms"))
-        outs = outs :+ best
-          .withColumn("step", lit(t).cast("bigint"))
+        best
+          .withColumn("step", lit(i + 1L))
           .crossJoin(broadcast(nsy))
           .select(col("step"), col("pa"), col("pb"), col("cnt"),
             col("n_syms"))
-      }
-      outs.reduce(_.unionByName(_)).orderBy(col("step"))
+      }.reduce(_.unionByName(_)).orderBy(col("step"))
     })
 }

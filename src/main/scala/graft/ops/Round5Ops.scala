@@ -87,7 +87,7 @@ object Round5Ops {
     * shape — at 100 TB the target is bucketed on k so only the small
     * source shuffles).
     */
-  private def merge(t: DataFrame, src: DataFrame): DataFrame =
+  private[ops] def merge(t: DataFrame, src: DataFrame): DataFrame =
     t.select(col("k").as("tk"), col("v").as("tv"))
       .join(src.select(col("k").as("sk"), col("v").as("sv")),
         col("tk") === col("sk"), "full_outer")
@@ -98,13 +98,13 @@ object Round5Ops {
     * fold of md5("k|v") mod 1e9+7 — partial-aggregatable (no sort, no
     * string_agg), so two 100 TB table states compare with one scan each.
     */
-  private val sparkRowFold =
+  private[ops] val sparkRowFold =
     "aggregate(transform(filter(split(md5(concat(cast(k AS STRING), '|', " +
       "cast(cast(v AS DECIMAL(18,2)) AS STRING))), ''), c -> c != ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), 0L, " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
 
-  private def duckRowFold: String =
+  private[ops] def duckRowFold: String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(md5(CAST(k AS VARCHAR) || '|' || " +
       "CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)), ''), " +

@@ -113,6 +113,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // collapse to a global single-partition sort
     "q204_duplicated_spans", "q205_importance_ratio",
     "q206_span_scrub_apply", "q207_ivf_pq_search")
+  // q211's window/broadcast shapes hide behind its pair-stage
+  // checkpoint — audited directly in the dedicated test below
 
   test("no Window or global Sort executes on a single partition") {
     checkEnv()
@@ -166,7 +168,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q191_hard_negative", "q192_epoch_waterfill",
       // round 5: PQ codebook row, importance-weight array, and the
       // IVF probe list must all ship as broadcasts, never shuffles
-      "q202_pq_adc", "q205_importance_ratio", "q207_ivf_pq_search")
+      "q202_pq_adc", "q205_importance_ratio", "q207_ivf_pq_search",
+      // round-5 batch 3: trained-merge rows (q210) and the CDF deltas
+      // (q212) ride broadcasts; q211's is audited pre-checkpoint below
+      "q210_bpe_encode", "q212_time_travel")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
@@ -202,7 +207,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q171_prefix_filter_join" -> Set("lang", "pt", "key"),
     "q48_simhash"             -> Set("lang", "c", "key"),
     "q134_incremental_dedup"  -> Set("lang", "key"),
-    "q49_embedding_neardup"   -> Set("cid"))
+    "q49_embedding_neardup"   -> Set("cid"),
+    // exact-dup lifecycle gates: the shuffle key is the md5 content
+    // hash (q200's hash-path discipline) — never the document text
+    "q208_cluster_split"      -> Set("ck"),
+    "q209_dedup_attribution"  -> Set("ck"))
 
   test("q191 hard-negative mining aggregates, never windows") {
     checkEnv()
@@ -246,5 +255,25 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     assert(joinKeySets(bp).exists(Set("lang", "key").subsetOf(_)),
       s"bandedProbe: no (lang, band) join — seen: ${joinKeySets(bp)}")
+  }
+
+  test("q211 pair stage broadcasts the query sample; ranking windows " +
+    "stay partitioned by qid (the code path behind its checkpoint)") {
+    checkEnv()
+    val pairs = graft.ops.Round5Final.projPairs(spark, dir)
+    val pp = pairs.queryExecution.executedPlan
+    assert(pp.toString.contains("BroadcastExchange") ||
+      pp.toString.contains("BroadcastNestedLoop"),
+      "q211: query-sample side no longer broadcasts into the pair join")
+    val tp = graft.ops.Round5Final.projTopK(pairs, "c16", 50)
+      .queryExecution.executedPlan
+    tp.collect { case w: WindowExec => w }.foreach { w =>
+      feedingExchange(w.child).foreach { e =>
+        assert(e.outputPartitioning != SinglePartition,
+          "q211: top-k window collapsed to a single partition")
+      }
+    }
+    assert(tp.collect { case w: WindowExec => w }.nonEmpty,
+      "q211: expected a window in the top-k stage")
   }
 }
