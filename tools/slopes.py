@@ -34,13 +34,14 @@ FAMILIES = [
     ("asof/range join", ["q31", "q32", "q76"]),
     ("dedup family", ["q43", "q44", "q45", "q46", "q47", "q48", "q49",
                       "q53", "q114", "q134", "q139", "q141", "q174",
-                      "q193", "q200", "q204", "q206"]),
+                      "q193", "q200", "q204", "q206", "q208", "q209"]),
     ("similarity/ann", ["q50", "q51", "q52", "q59", "q74", "q75", "q140",
                         "q159", "q171", "q184", "q191", "q196", "q197",
-                        "q202", "q207"]),
+                        "q202", "q207", "q211"]),
     ("text/corpus analysis", ["q40", "q41", "q42", "q79", "q113", "q127",
                               "q130", "q138", "q143", "q144", "q156",
-                              "q157", "q177", "q179", "q183", "q190", "q203"]),
+                              "q157", "q177", "q179", "q183", "q190", "q203",
+                              "q210"]),
     ("pipeline ops", ["q126", "q128", "q129", "q131", "q132", "q133",
                       "q145", "q146", "q147", "q148", "q149", "q150",
                       "q165", "q176", "q178", "q180", "q181", "q182",
@@ -48,7 +49,7 @@ FAMILIES = [
     ("behavioral/graph", ["q153", "q158", "q160", "q166", "q167", "q169",
                           "q170", "q187"]),
     ("lake maintenance", ["q109", "q135", "q136", "q152", "q155", "q162",
-                          "q198"]),
+                          "q198", "q212"]),
     ("streaming (fixed-cost state machinery)",
      ["q55", "q56", "q57", "q91", "q92", "q108", "q115", "q116", "q117",
       "q123", "q125", "q142", "q194", "q199"]),
