@@ -116,13 +116,20 @@ object KMeans {
   private[ops] def oracleCtes(k: String, iters: Int): String =
     oracleCtesSlice(k, iters, 0, 0, "")
 
+  /** Variant with a custom training relation (a CTE name — q215). */
+  private[ops] def oracleCtes(k: Int, iters: Int, src: String): String =
+    oracleCtesSlice(k.toString, iters, 0, 0, "", src)
+
   /** Fully parameterized variant: trains on `list_slice(embedding,
     * off+1, off+len)` (len = 0 → the full vector) and suffixes every
     * CTE name with `tag`, so q202's product quantizer can lay M
     * independent per-subspace Lloyd chains side by side in one WITH.
+    * `src` is the training relation (default the embeddings table —
+    * q215 trains on a filtered CTE instead).
     */
   private[ops] def oracleCtesSlice(
-      k: String, iters: Int, off: Int, len: Int, tag: String): String = {
+      k: String, iters: Int, off: Int, len: Int, tag: String,
+      src: String = "embeddings"): String = {
     def emb(p: String): String =
       if (len == 0) s"${p}embedding"
       else s"list_slice(${p}embedding, ${off + 1}, ${off + len})"
@@ -131,7 +138,7 @@ object KMeans {
       |  SELECT vec_id, generate_subscripts(${emb("")}, 1) - 1 AS pos,
       |    CAST(FLOOR(CAST(unnest(${emb("")}) AS DOUBLE) * 1000000 + 0.5)
       |      AS BIGINT) AS sval
-      |  FROM embeddings),
+      |  FROM $src),
       |cent0$tag AS (SELECT vec_id AS cid, pos, sval AS cval FROM sv$tag
       |  WHERE vec_id < $k),
       |cl0$tag AS (SELECT cid, list(cval ORDER BY pos) AS cs
@@ -145,7 +152,7 @@ object KMeans {
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |        ORDER BY ${duckDot(emb("e."), "c.cs")} DESC, c.cid ASC)
       |        AS rn
-      |    FROM embeddings e, cl$p$tag c) WHERE rn = 1),
+      |    FROM $src e, cl$p$tag c) WHERE rn = 1),
       |up$i$tag AS (
       |  SELECT a.cid, s.pos, CAST(SUM(s.sval) AS BIGINT) AS ssum,
       |    CAST(COUNT(*) AS BIGINT) AS cnt

@@ -18,11 +18,11 @@ object Round4Ops {
 
   // Distinct 3-gram shingles — same fragments the q46/q171 family uses.
   // Spark side expects a `toks` column (split text), DuckDB side inlines.
-  private val sparkShingles =
+  private[ops] val sparkShingles =
     "array_distinct(transform(sequence(0, size(toks) - 3), " +
       "i -> concat_ws(' ', element_at(toks, i + 1), " +
       "element_at(toks, i + 2), element_at(toks, i + 3))))"
-  private val duckShingles =
+  private[ops] val duckShingles =
     "list_distinct(list_transform(range(len(string_split(text, ' ')) - 2), " +
       "i -> string_split(text, ' ')[i+1] || ' ' || " +
       "string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]))"

@@ -171,7 +171,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q202_pq_adc", "q205_importance_ratio", "q207_ivf_pq_search",
       // round-5 batch 3: trained-merge rows (q210) and the CDF deltas
       // (q212) ride broadcasts; q211's is audited pre-checkpoint below
-      "q210_bpe_encode", "q212_time_travel")
+      "q210_bpe_encode", "q212_time_travel",
+      // round-5 batch 4: the refresh codebook/masses and the drift
+      // totals row are broadcasts, never shuffles
+      "q215_codebook_refresh", "q216_distribution_drift")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
@@ -211,7 +214,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // exact-dup lifecycle gates: the shuffle key is the md5 content
     // hash (q200's hash-path discipline) — never the document text
     "q208_cluster_split"      -> Set("ck"),
-    "q209_dedup_attribution"  -> Set("ck"))
+    "q209_dedup_attribution"  -> Set("ck"),
+    // incremental index maintenance merges strictly on the term key
+    "q214_incremental_postings" -> Set("term"))
 
   test("q191 hard-negative mining aggregates, never windows") {
     checkEnv()
