@@ -29,21 +29,44 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     readNormalized(spark, s"$dir/$name.parquet")
 
-  /** Read a parquet path, tolerating TIMESTAMP(NANOS) columns Spark cannot
-    * represent: `ts` nanos are read as long and floor-divided to
-    * microseconds — exactly the ns→µs truncation DuckDB applies, so the
-    * oracle agrees.
+  /** Read a parquet path, normalizing whatever timestamp physical layout
+    * the data dir ships to session-zoned TIMESTAMP:
+    *   - legacy TIMESTAMP(NANOS): read as long (nanosAsLong) and
+    *     floor-divided to microseconds — the ns→µs truncation DuckDB
+    *     applies, so the oracle agrees;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=0): Spark 4 loads it as
+    *     TIMESTAMP_NTZ, which watermarks and the as-of operator reject —
+    *     cast to TIMESTAMP. The session tz is pinned UTC in every entry
+    *     point, so the cast re-labels the same micros value exactly.
     */
   def readNormalized(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
-    df.schema.fields.find(_.name == "ts") match {
+    val tsFixed = df.schema.fields.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         // integer div, not double div: 2024 epoch-nanos exceed 2^53
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case _ => df
     }
+    normalizeNtz(tsFixed)
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP (UTC session tz pinned —
+    * exact). One projection for all affected columns, applied before any
+    * downstream plan, so filters on the cast columns still push to the scan
+    * as micros-range predicates.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.toSet
+    if (ntz.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (ntz(c)) col(c).cast(TimestampType).as(c) else col(c)
+    }: _*)
   }
 
   /** Register all testdata tables as temp views (idempotent per session

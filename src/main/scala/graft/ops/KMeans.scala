@@ -68,10 +68,48 @@ object KMeans {
           s"struct(${dotFold("embedding", "c.cs")} AS d, -c.cid AS nc)))"))
       .select(col("vec_id"), col("embedding"), (-col("sel.nc")).as("cid"))
 
+  // ---------------- train-once codebook artifact ---------------------
+  // A codebook is deterministic in (training relation, k, iters), so
+  // consumers share ONE trained artifact per session instead of
+  // re-running Lloyd inside every query plan — the shape a 100 TB index
+  // build has (train once, serve many; round-5 ran ~13 redundant
+  // trainings per suite pass). Keyed by the canonicalized logical plan
+  // of the training relation (sameResult), so a different dir, slice,
+  // or filter still trains fresh; values are the already-checkpointed
+  // (cid, cs) frames, reuse costs nothing. Weak session key as in
+  // Tables.registered.
+  private val trained = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.
+      ListBuffer[(Int, Int,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        DataFrame)]]())
+
+  /** Trained codebook for (e, k, iters): served from the session cache
+    * when an identical training job already ran, else trained and
+    * cached. Output: (cid BIGINT, cs ARRAY<BIGINT>) fixed-point.
+    */
+  private[ops] def codebook(
+      s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val plan = e.queryExecution.analyzed
+    val buf = trained.computeIfAbsent(s,
+      _ => scala.collection.mutable.ListBuffer.empty)
+    buf.synchronized {
+      buf.find { case (ck, ci, cp, _) =>
+        ck == k && ci == iters && cp.sameResult(plan)
+      } match {
+        case Some((_, _, _, cached)) => cached
+        case None =>
+          val cb = trainCodebook(s, e, k, iters)
+          buf += ((k, iters, plan, cb))
+          cb
+      }
+    }
+  }
+
   /** Train the codebook: k centroids, `iters` Lloyd iterations. Output:
     * (cid BIGINT, cs ARRAY<BIGINT>) — fixed-point centroid vectors.
     */
-  private[ops] def codebook(
+  private def trainCodebook(
       s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("bigint").as("cid"),

@@ -107,6 +107,33 @@ object Pq {
     e.filter(col("vec_id") === 0)
       .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
 
+  /** PQ-encode (…, embedding) to M codes against the broadcast codebook
+    * row — the stored-codes shape: the corpus encodes ONCE and every
+    * query is served from the codes. All non-embedding columns (vec_id,
+    * the probe-join cid) pass through.
+    */
+  private def pqEncode(in: DataFrame, cbRow: DataFrame): DataFrame = {
+    val keep = in.columns.filter(_ != "embedding").toIndexedSeq.map(col)
+    val base = in.crossJoin(broadcast(cbRow))
+      .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
+    val coded = (0 until M).foldLeft(base) { (df, m) =>
+      df.withColumn(s"c$m", expr(
+        s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
+          s"c -> struct(${intDot(s"slice(sv, ${m * SUB + 1}, $SUB)",
+            "c.cs")} AS d, -c.cid AS nc))).nc"))
+    }
+    coded.select(keep ++ (0 until M).map(m => col(s"c$m")): _*)
+  }
+
+  /** ADC sum over stored codes c0..c{M-1} against a per-row `qs` query
+    * vector (both broadcast-joined).
+    */
+  private def adcFromCodes: String =
+    (0 until M).map { m =>
+      intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
+        s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
+    }.mkString("(", ") + (", ")")
+
   /** Exact integer scores only (no PQ): (vec_id, exact). */
   private def exactScore(in: DataFrame, q0: DataFrame): DataFrame =
     in.crossJoin(broadcast(q0))

@@ -63,9 +63,16 @@ object StreamOps {
       }
     val raw = spark.read.parquet(path).schema
     val st = spark.readStream.schema(raw).parquet(sourceDir)
-    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-NTZ layout: watermarks reject TIMESTAMP_NTZ; UTC session tz
+        // is pinned, so the cast re-labels the same micros value exactly
+        st.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => st
+    }
   }
 
   /** Shared with FinalOps.q91 (custom-state streaming). */

@@ -19,15 +19,26 @@ class BehaviorOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def micros(t: java.sql.Timestamp): Long =
-    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  // epoch-micros from whatever class the row carries (Timestamp for
+  // TIMESTAMP columns, LocalDateTime for TIMESTAMP_NTZ) — the spec tests
+  // sessionization semantics, not the JVM timestamp class
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => sys.error(s"unexpected time class: ${other.getClass}")
+  }
 
   test("q154 sessionization matches a sequential recomputation") {
     val raw = graft.Tables.table(spark, dir, "events")
       .filter("user_id < 12")
       .select("user_id", "ts", "event_id")
       .collect()
-      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2)))
+      .map(r => (r.getLong(0), micros(r.get(1)), r.getLong(2)))
     val expected: Seq[(Long, Long, Long)] = // (user, session, n)
       raw.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
         val sorted = evs.sortBy(e => (e._2, e._3))
