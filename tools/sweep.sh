@@ -18,5 +18,5 @@ for sf in 0.01 0.1 0.3 1; do
 done
 echo "[sweep] done $(date +%H:%M:%S)"
 python3 tools/slopes.py bench/bench_sf0.01.json bench/bench_sf0.1.json \
-  bench/bench_sf0.3.json bench/bench_sf1.json > /tmp/slopes_r5.md
-echo "[sweep] slopes written to /tmp/slopes_r5.md"
+  bench/bench_sf0.3.json bench/bench_sf1.json > /tmp/slopes_r6.md
+echo "[sweep] slopes written to /tmp/slopes_r6.md"
