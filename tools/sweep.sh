@@ -13,8 +13,8 @@ for sf in 0.01 0.1 0.3 1; do
   esac
   echo "[sweep] sf=$sf dir=$dir $(date +%H:%M:%S)"
   SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 \
-    java -Xmx48g -cp "$CP" graft.Bench 2>/dev/null \
-    | grep '"queries"' | head -1 > bench/bench_sf$sf.json
+    java -Xmx48g -XX:ReservedCodeCacheSize=512m -cp "$CP" graft.Bench \
+    2>/dev/null | grep '"queries"' | head -1 > bench/bench_sf$sf.json
 done
 echo "[sweep] done $(date +%H:%M:%S)"
 python3 tools/slopes.py bench/bench_sf0.01.json bench/bench_sf0.1.json \
