@@ -238,24 +238,43 @@ object Similarity {
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
         .setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(featured)
-      // materialize the signed frame ONCE: approxSimilarityJoin consumes
-      // both sides of the self-join, and without this the shingle +
-      // minhash computation runs twice (measured ~2x on the whole query)
+      // materialize the signed frame ONCE: the candidate self-join
+      // consumes it twice, and without this the shingle + minhash
+      // computation runs twice (measured ~2x on the whole query)
       val signedCp = model.transform(featured).localCheckpoint(true)
       val signed = s.createDataFrame(signedCp.rdd, signedCp.schema)
-      // loose LSH threshold (hashed-space dist 0.5) so the exact >= 0.8
-      // cut below is the only boundary that matters
+      // Candidate join done MANUALLY on the (table, minhash) composite
+      // key instead of model.approxSimilarityJoin: the MLlib join
+      // explodes the same keys internally but then computes a hashed
+      // distance per DUPLICATE candidate (once per shared bucket) with
+      // the full shingle arrays riding every copy through the shuffle —
+      // measured superlinear (slope 1.45, 93 s at sf1) on this corpus.
+      // Joining on bucket equality, reducing to DISTINCT id pairs FIRST
+      // (a fixed-width shuffle), and exact-scoring each survivor ONCE
+      // is the q46/q171 banded-join discipline; it is also strictly
+      // higher-recall — approxSimilarityJoin's hashed-distance <= 0.5
+      // cut drops ~1.7% of true J = 0.8 pairs (P[>3 of 6 tables
+      // differ]); here a pair is missed only when ALL 6 tables differ:
+      // (1-J)^6 ~ 6e-5.
+      val keys = signed.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("t", "h")))
+        .select(col("doc_id"), col("t"),
+          org.apache.spark.ml.functions.vector_to_array(col("h"))
+            .getItem(0).as("hv"))
+      val cand = keys.as("ka").join(keys.as("kb"),
+        col("ka.t") === col("kb.t") && col("ka.hv") === col("kb.hv") &&
+          col("ka.doc_id") < col("kb.doc_id"))
+        .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
+        .distinct()
+      val sgOnly = signed.select(col("doc_id"), col("sg"))
       val jac = expr("token_jaccard(sg_a, sg_b)")
-      model.approxSimilarityJoin(signed, signed, 0.5, "dist")
-        .select(
-          col("datasetA.doc_id").as("doc_a"),
-          col("datasetB.doc_id").as("doc_b"),
-          col("datasetA.sg").as("sg_a"),
-          col("datasetB.sg").as("sg_b"))
-        .filter(col("doc_a") < col("doc_b"))
+      cand
+        .join(sgOnly.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")),
+          "doc_a")
+        .join(sgOnly.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
+          "doc_b")
         .filter(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
-        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
