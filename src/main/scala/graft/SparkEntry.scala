@@ -23,7 +23,8 @@ object SparkEntry {
       CorpusOps.queries ++ Round3Ops.queries ++ Round4Ops.queries ++
       Round4More.queries ++ Round4Final.queries ++ KMeans.queries ++
       Round5Ops.queries ++ Pq.queries ++ Bpe.queries ++
-      Round5More.queries ++ Round5Final.queries ++ MaintenanceOps.queries
+      Round5More.queries ++ Round5Final.queries ++ MaintenanceOps.queries ++
+      Round6Ops.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -51,16 +51,16 @@ object Pq {
   /** Exact integer dot over two fixed-point BIGINT arrays (ascending
     * fold; order-free because integer addition is associative).
     */
-  private def intDot(a: String, b: String): String =
+  private[ops] def intDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
       "(acc, v) -> acc + v)"
 
-  private def duckIntDot(a: String, b: String): String =
+  private[ops] def duckIntDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), " +
       "(x, y) -> x + y)"
 
-  private def duckScaled(a: String): String =
+  private[ops] def duckScaled(a: String): String =
     s"list_transform($a, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 " +
       "+ 0.5) AS BIGINT))"
 

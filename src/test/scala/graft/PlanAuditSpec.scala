@@ -115,7 +115,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q206_span_scrub_apply", "q207_ivf_pq_search",
     // round 6: batched IVF-PQ — every per-query stage (probe, ADC
     // top-10, exact referee top-10) must window PARTITIONED BY qid
-    "q217_batched_ivf_pq")
+    "q217_batched_ivf_pq",
+    // round 6: the NB argmax window must stay PARTITIONED BY doc_id;
+    // matryoshka's two top-k stages must never globally sort
+    "q218_nb_lang_classifier", "q219_matryoshka_rerank")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -158,7 +161,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     checkEnv()
     Seq("q71_tpch_q3_shape", "q72_tpch_q10_shape", "q133_deterministic_shuffle",
-      "q187_pagerank").foreach { name =>
+      "q187_pagerank",
+      // round 6: matryoshka's coarse top-C and rerank top-10 are both
+      // per-partition heaps, never a global sort of the corpus
+      "q219_matryoshka_rerank").foreach { name =>
         assert(formatted(name).contains("TakeOrderedAndProject"),
           s"$name: top-k fell back to global sort + CollectLimit")
       }
@@ -180,7 +186,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q215_codebook_refresh", "q216_distribution_drift",
       // round 6: the probe list, query batch, and PQ codebook row all
       // ride broadcasts into the coded-corpus join
-      "q217_batched_ivf_pq")
+      "q217_batched_ivf_pq",
+      // round 6: the NB model tables (likelihood counts, totals, vocab,
+      // priors) and the matryoshka query row are broadcasts — scoring
+      // must stay a map stage over the test tokens / corpus vectors
+      "q218_nb_lang_classifier", "q219_matryoshka_rerank")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

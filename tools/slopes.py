@@ -37,11 +37,11 @@ FAMILIES = [
                       "q193", "q200", "q204", "q206", "q208", "q209"]),
     ("similarity/ann", ["q50", "q51", "q52", "q59", "q74", "q75", "q140",
                         "q159", "q171", "q184", "q191", "q196", "q197",
-                        "q202", "q207", "q211", "q215", "q217"]),
+                        "q202", "q207", "q211", "q215", "q217", "q219"]),
     ("text/corpus analysis", ["q40", "q41", "q42", "q79", "q113", "q127",
                               "q130", "q138", "q143", "q144", "q156",
                               "q157", "q177", "q179", "q183", "q190", "q203",
-                              "q210", "q213", "q214"]),
+                              "q210", "q213", "q214", "q218"]),
     ("pipeline ops", ["q126", "q128", "q129", "q131", "q132", "q133",
                       "q145", "q146", "q147", "q148", "q149", "q150",
                       "q165", "q176", "q178", "q180", "q181", "q182",
