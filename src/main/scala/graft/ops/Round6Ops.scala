@@ -37,6 +37,52 @@ object Round6Ops {
   private val C = 64 // q219 stage-1 candidate count
   private val PRE = 16 // q219 prefix dims (of 64)
 
+  // q220 residual IVF-PQ: same geometry as q74/q202/q207 so the coarse
+  // codebook is the SHARED train-once artifact
+  private val CK = 4 // coarse centroids
+  private val CITERS = 2 // coarse Lloyd iterations
+  private val NPROBE = 2 // probed cells per query
+  private val M = 4 // PQ subspaces
+  private val SUB = 16 // dims per subspace (embeddings are 64-d)
+  private val K = 8 // codewords per subspace
+  private val ITERS = 2 // Lloyd iterations per subspace
+
+  /** The M side-by-side per-subspace Lloyd chains over the residual CTE
+    * (tag `_r<m>` keeps them disjoint from the coarse chain's names).
+    */
+  private def residChains: String =
+    (0 until M)
+      .map(m => KMeans.oracleCtesSlice(K.toString, ITERS, m * SUB, SUB,
+        s"_r$m", "resid"))
+      .mkString(",\n")
+
+  /** Per-subspace encode CTEs over the residuals (argmax dot against the
+    * trained residual codewords, ties to lowest cid).
+    */
+  private def residEncs: String =
+    (0 until M).map { m =>
+      val sliced = Pq.duckScaled(
+        s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
+      s"""renc$m AS (
+         |  SELECT vec_id, cs FROM (
+         |    SELECT e.vec_id, c.cs,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Pq.duckIntDot(sliced, "c.cs")} DESC, c.cid ASC)
+         |        AS rn
+         |    FROM resid e, cl${ITERS}_r$m c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def residAdcSum: String =
+    (0 until M).map { m =>
+      Pq.duckIntDot(s"list_slice(q.qs, ${m * SUB + 1}, ${(m + 1) * SUB})",
+        s"r$m.cs")
+    }.mkString("(", ") + (", ")")
+
+  private def residEncJoins: String =
+    (0 until M)
+      .map(m => s"JOIN renc$m r$m ON v.vec_id = r$m.vec_id")
+      .mkString("\n  ")
+
   val queries: Seq[Q] = Seq(
     // E8/E13: TRAINED language classifier — multinomial NB with add-one
     // smoothing, trained on the doc_id%5!=0 split (labels = the lang
@@ -199,6 +245,140 @@ object Round6Ops {
         .select(col("vec_id"), col("pre"), col("full_dot"),
           coalesce(col("hit"), lit(0)).as("in_exact"))
         .orderBy(col("full_dot").desc, col("vec_id").asc)
+    },
+
+    // E7: RESIDUAL IVF-PQ — the production IVFADC shape (q207 quantizes
+    // raw vectors; real indexes quantize the residual to the assigned
+    // coarse centroid, which is far lower-variance and so quantizes
+    // better). The composition is all fixed-point: scaled vector minus
+    // assigned centroid is an exact BIGINT residual; dividing by 1e6
+    // bridges it back through the shared Lloyd trainer (whose own
+    // 1e6-scaling recovers the exact integers — the round-trip error is
+    // ~1e-9, eight orders under the 0.5 rounding threshold, and both
+    // engines run the identical IEEE ops); ADC scores q·centroid +
+    // q·codeword in exact integer arithmetic. Search touches only the
+    // NPROBE probed cells; in_exact referees against the global exact
+    // top-10 and n_cand records the probed-slice size.
+    Q(
+      "q220_residual_ivf_pq",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |resid AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(range(len(a.embedding)), i ->
+         |      CAST(CAST(FLOOR(CAST(a.embedding[i+1] AS DOUBLE) * 1000000
+         |        + 0.5) AS BIGINT) - c.cs[i+1] AS DOUBLE) / 1000000.0)
+         |      AS embedding
+         |  FROM (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1) a
+         |  JOIN cl$CITERS c ON a.cid = c.cid),
+         |$residChains,
+         |$residEncs,
+         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |  AND rn <= $NPROBE),
+         |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT r.vec_id, r.cid FROM resid r
+         |  JOIN probes p ON r.cid = p.cid
+         |  WHERE r.vec_id <> 0),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         |scored AS (
+         |  SELECT v.vec_id,
+         |    (${Pq.duckIntDot("q.qs", "cc.cs")}) + $residAdcSum AS adc,
+         |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
+         |      AS exact
+         |  FROM cand v
+         |  JOIN cl$CITERS cc ON v.cid = cc.cid
+         |  JOIN embeddings ev ON ev.vec_id = v.vec_id
+         |  $residEncJoins, qv q),
+         |tope AS (
+         |  SELECT v.vec_id FROM embeddings v, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+                "q.qs")} DESC, v.vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.adc, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, n.n_cand
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val ccsSel = coarse.select(col("cid"), col("cs").as("ccs"))
+      // exact BIGINT residual to the assigned centroid; rd is its /1e6
+      // double bridge into the shared Lloyd trainer
+      val residFull = KMeans.assign(e, coarse)
+        .join(broadcast(ccsSel), Seq("cid"))
+        .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
+        .withColumn("rsv", expr("zip_with(sv, ccs, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("cid"), col("sv"), col("rsv"),
+          expr("transform(rsv, v -> CAST(v AS DOUBLE) / 1000000.0D)")
+            .as("rd"))
+      val residTrain = residFull.select(col("vec_id"),
+        col("rd").as("embedding"))
+      // M per-subspace codebooks over the residuals, collapsed to one
+      // broadcast row (the q202 trainPq shape, on residual slices)
+      val pqCb = (0 until M).map { m =>
+        val sub = residTrain.select(col("vec_id"),
+          expr(s"slice(embedding, ${m * SUB + 1}, $SUB)").as("embedding"))
+        KMeans.codebook(s, sub, K, ITERS)
+          .select(lit(m).as("sub"), col("cid"), col("cs"))
+      }.reduce(_.unionByName(_))
+        .agg(expr("array_sort(collect_list(struct(sub, cid, cs)))")
+          .as("cbs"))
+      val wprobe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= NPROBE)
+        .select(col("cid"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val cand = residFull.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+      // encode candidates against the broadcast residual codebooks and
+      // ADC-score: q·centroid (per probed cell) + q·codeword, all BIGINT
+      val base = cand
+        .crossJoin(broadcast(pqCb))
+        .crossJoin(broadcast(q0))
+        .join(broadcast(ccsSel), Seq("cid"))
+      val coded = (0 until M).foldLeft(base) { (df, m) =>
+        df.withColumn(s"c$m", expr(
+          s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
+            s"c -> struct(${Pq.intDot(s"slice(rsv, ${m * SUB + 1}, $SUB)",
+              "c.cs")} AS d, -c.cid AS nc))).nc"))
+      }
+      val adcSum = s"(${Pq.intDot("qs", "ccs")}) + " +
+        (0 until M).map { m =>
+          Pq.intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
+            s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), " +
+              "1).cs")
+        }.mkString("(", ") + (", ")")
+      val scored = coded
+        .withColumn("adc", expr(adcSum))
+        .withColumn("exact", expr(Pq.intDot("sv", "qs")))
+        .select(col("vec_id"), col("adc"), col("exact"))
+      val globalTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+      scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nc))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
     }
   )
 }

@@ -117,8 +117,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // top-10, exact referee top-10) must window PARTITIONED BY qid
     "q217_batched_ivf_pq",
     // round 6: the NB argmax window must stay PARTITIONED BY doc_id;
-    // matryoshka's two top-k stages must never globally sort
-    "q218_nb_lang_classifier", "q219_matryoshka_rerank")
+    // matryoshka's two top-k stages must never globally sort; residual
+    // IVF-PQ's probe/top-k stages must never collapse either
+    "q218_nb_lang_classifier", "q219_matryoshka_rerank",
+    "q220_residual_ivf_pq")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -189,8 +191,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q217_batched_ivf_pq",
       // round 6: the NB model tables (likelihood counts, totals, vocab,
       // priors) and the matryoshka query row are broadcasts — scoring
-      // must stay a map stage over the test tokens / corpus vectors
-      "q218_nb_lang_classifier", "q219_matryoshka_rerank")
+      // must stay a map stage over the test tokens / corpus vectors;
+      // q220's coarse centroids, residual codebooks, probe list, and
+      // query row all ride broadcasts into the candidate encode
+      "q218_nb_lang_classifier", "q219_matryoshka_rerank",
+      "q220_residual_ivf_pq")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

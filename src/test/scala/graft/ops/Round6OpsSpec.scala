@@ -93,4 +93,40 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.count(_._3 == 1) >= 5,
       "matryoshka recall@10 < 0.5 — prefix stage is not finding neighbours")
   }
+
+  test("q220: residual ADC search is probe-bounded and its exact column " +
+    "matches brute force on overlap") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q220_residual_ivf_pq")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(out.length == 10)
+    val nTotal = graft.Tables.table(spark, dir, "embeddings").count() - 1
+    val nCand = out.head._4
+    assert(out.forall(_._4 == nCand), "n_cand is not constant")
+    assert(nCand > 10 && nCand < nTotal,
+      s"probe bound broken: n_cand=$nCand of $nTotal — the probe stage " +
+        "either found nothing or scanned the whole corpus")
+    // exact column must agree with an independent brute-force referee
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val scaled = "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)" +
+      " * 1000000 + 0.5) AS BIGINT))"
+    val q0 = e.filter(col("vec_id") === 0).select(expr(scaled).as("qs"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(
+        s"aggregate(zip_with($scaled, qs, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, ex, _, _) =>
+      assert(exact(id) == ex, s"vec $id: exact column != brute force")
+    }
+    val topTen = exact.toSeq.sortBy { case (id, d) => (-d, id) }
+      .take(10).map(_._1).toSet
+    out.foreach { case (id, _, inExact, _) =>
+      assert((inExact == 1) == topTen.contains(id),
+        s"vec $id: in_exact flag disagrees with brute-force referee")
+    }
+  }
 }
