@@ -379,6 +379,97 @@ object Round6Ops {
         .select(col("vec_id"), col("adc"), col("exact"),
           coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
         .orderBy(col("adc").desc, col("vec_id").asc)
+    },
+
+    // E7: SQ8 scalar-quantized search — each dim quantizes to an 8-bit
+    // code against per-dim corpus (min, max): 4× smaller vectors (64
+    // bytes vs 64 floats' 256) with near-exact recall, the cheapest
+    // production compression tier (coarser than nothing, finer than
+    // PQ). All arithmetic is exact integers: the per-dim stats are
+    // fixed-point BIGINT min/max (a 64-row broadcast table), the code
+    // is a positive floor-division — identical in both engines — and
+    // scoring dequantizes WITHOUT division: recon×255 = mn×255 +
+    // code×(mx−mn) exactly, so ranking by q·recon255 is ranking by the
+    // dequantized dot. in_exact referees against the exact top-10.
+    Q(
+      "q221_sq8_quantized_search",
+      s"""WITH sv AS (
+         |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS sv
+         |  FROM embeddings),
+         |svrows AS (
+         |  SELECT vec_id, generate_subscripts(sv, 1) AS pos,
+         |    unnest(sv) AS sval
+         |  FROM sv),
+         |stats AS (
+         |  SELECT pos, MIN(sval) AS mn, MAX(sval) AS mx
+         |  FROM svrows GROUP BY pos),
+         |statrow AS (
+         |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+         |  FROM stats),
+         |qv AS (SELECT sv AS qs FROM sv WHERE vec_id = 0),
+         |recon AS (
+         |  SELECT v.vec_id,
+         |    list_transform(range(len(v.sv)), i ->
+         |      s.mn[i+1] * 255 +
+         |      (((v.sv[i+1] - s.mn[i+1]) * 255)
+         |        // GREATEST(s.mx[i+1] - s.mn[i+1], 1))
+         |      * (s.mx[i+1] - s.mn[i+1])) AS r255
+         |  FROM sv v, statrow s
+         |  WHERE v.vec_id <> 0),
+         |scored AS (
+         |  SELECT r.vec_id, ${Pq.duckIntDot("r.r255", "q.qs")} AS approx,
+         |    ${Pq.duckIntDot("v.sv", "q.qs")} AS exact
+         |  FROM recon r JOIN sv v ON v.vec_id = r.vec_id, qv q),
+         |tope AS (
+         |  SELECT v.vec_id FROM sv v, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot("v.sv", "q.qs")} DESC, v.vec_id ASC
+         |  LIMIT 10)
+         |SELECT s.vec_id, s.approx, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact
+         |FROM (SELECT * FROM scored ORDER BY approx DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id
+         |ORDER BY s.approx DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val sv = e.select(col("vec_id"),
+        expr(KMeans.scaleExpr("embedding")).as("sv"))
+      // per-dim fixed-point (min, max), collapsed to ONE broadcast row
+      // of pos-sorted arrays — the whole "codebook" of an SQ8 index
+      val statRow = sv
+        .select(posexplode(col("sv")).as(Seq("pos", "sval")))
+        .groupBy(col("pos"))
+        .agg(min(col("sval")).as("mn"), max(col("sval")).as("mx"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, mn))), " +
+            "p -> p.mn)").as("mn"),
+          expr("transform(array_sort(collect_list(struct(pos, mx))), " +
+            "p -> p.mx)").as("mx"))
+      val q0 = sv.filter(col("vec_id") === 0).select(col("sv").as("qs"))
+      // quantize + dequantize in one map stage: code is a positive
+      // floor-div; recon255 avoids the division entirely
+      val recon = sv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(statRow))
+        .withColumn("r255", expr(
+          "zip_with(zip_with(sv, mn, (s, a) -> struct(s AS s, a AS a)), " +
+            "mx, (p, b) -> p.a * 255 + " +
+            "(((p.s - p.a) * 255) div greatest(b - p.a, 1L)) " +
+            "* (b - p.a))"))
+        .crossJoin(broadcast(q0))
+      val scored = recon.select(col("vec_id"),
+        expr(Pq.intDot("r255", "qs")).as("approx"),
+        expr(Pq.intDot("sv", "qs")).as("exact"))
+      val tope = sv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot("sv", "qs")).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      scored.orderBy(col("approx").desc, col("vec_id").asc).limit(10)
+        .join(broadcast(tope), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("approx"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
     }
   )
 }

@@ -120,7 +120,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // matryoshka's two top-k stages must never globally sort; residual
     // IVF-PQ's probe/top-k stages must never collapse either
     "q218_nb_lang_classifier", "q219_matryoshka_rerank",
-    "q220_residual_ivf_pq")
+    "q220_residual_ivf_pq", "q221_sq8_quantized_search")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -195,7 +195,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q220's coarse centroids, residual codebooks, probe list, and
       // query row all ride broadcasts into the candidate encode
       "q218_nb_lang_classifier", "q219_matryoshka_rerank",
-      "q220_residual_ivf_pq")
+      "q220_residual_ivf_pq",
+      // q221's per-dim stats row and query row ride broadcasts into
+      // the one-pass quantize+score map stage
+      "q221_sq8_quantized_search")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -129,4 +129,30 @@ class Round6OpsSpec extends AnyFunSuite {
         s"vec $id: in_exact flag disagrees with brute-force referee")
     }
   }
+
+  test("q221: SQ8 recall is near-exact and the approx score tracks the " +
+    "exact dot") {
+    assume(available, s"$dir absent — skipping")
+    val out = graft.SparkEntry.queries("q221_sq8_quantized_search")(
+      spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 10)
+    // 8-bit-per-dim quantization loses far less than PQ's M codes: the
+    // top-10 by approx must capture most of the exact top-10
+    assert(out.count(_._4 == 1) >= 8,
+      s"SQ8 recall@10 = ${out.count(_._4 == 1)}/10 — an 8-bit scalar " +
+        "quantizer should be near-exact")
+    // approx is the dequantized dot ×255: it must sit within the
+    // worst-case quantization error of 255×exact. Per-dim error ≤
+    // (mx-mn)/255·|q_i| ⇒ |approx − 255·exact| ≤ Σ (mx_i−mn_i)·|q_i|;
+    // a loose but structural sanity bound: same sign region and
+    // correct order of magnitude
+    out.foreach { case (id, approx, exact, _) =>
+      val diff = math.abs(approx - 255L * exact)
+      assert(diff < math.abs(255L * exact) / 10 + 255L * 1000000L,
+        s"vec $id: dequantized score $approx far from 255×exact " +
+          s"${255L * exact} — quantizer arithmetic broken")
+    }
+  }
 }
