@@ -470,6 +470,108 @@ object Round6Ops {
         .select(col("vec_id"), col("approx"), col("exact"),
           coalesce(col("hit"), lit(0)).as("in_exact"))
         .orderBy(col("approx").desc, col("vec_id").asc)
+    },
+
+    // E7: the IVF probe OPERATING CURVE — recall@10 and candidate count
+    // at every nprobe level 1..CK (IVFFlat: exact scoring of probed
+    // candidates, so the curve isolates what the COARSE stage loses).
+    // This is the measurement that tunes a production index: pick the
+    // smallest nprobe on the curve that clears the recall target. The
+    // candidate set is scored ONCE; levels replicate only (vec_id,
+    // probe-rank) pairs (≤ CK× bounded fanout), per-level top-10 is a
+    // window PARTITIONED BY nprobe, and nprobe=CK probes every cell —
+    // recall there must be exactly 1.0, a built-in self-check the spec
+    // enforces.
+    Q(
+      "q222_ivf_probe_curve",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |assign AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |prank AS (SELECT cid, rn FROM assign WHERE vec_id = 0),
+         |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT l.vec_id, p.rn,
+         |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")} AS d
+         |  FROM lists l
+         |  JOIN prank p ON l.cid = p.cid
+         |  JOIN embeddings ev ON ev.vec_id = l.vec_id, qv q
+         |  WHERE l.vec_id <> 0),
+         |levels AS (SELECT unnest(generate_series(1, $CK)) AS nprobe),
+         |repl AS (
+         |  SELECT lv.nprobe, s.vec_id, s.d
+         |  FROM scored s JOIN levels lv ON s.rn <= lv.nprobe),
+         |topk AS (
+         |  SELECT nprobe, vec_id FROM (
+         |    SELECT nprobe, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY nprobe
+         |        ORDER BY d DESC, vec_id ASC) AS krn
+         |    FROM repl) WHERE krn <= 10),
+         |tope AS (
+         |  SELECT vec_id FROM scored
+         |  ORDER BY d DESC, vec_id ASC LIMIT 10),
+         |ncand AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM repl GROUP BY nprobe),
+         |hits AS (
+         |  SELECT t.nprobe, CAST(COUNT(x.vec_id) AS BIGINT) AS hits
+         |  FROM topk t LEFT JOIN tope x ON t.vec_id = x.vec_id
+         |  GROUP BY t.nprobe)
+         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe, n.n_cand,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall_at_10
+         |FROM ncand n LEFT JOIN hits h ON n.nprobe = h.nprobe
+         |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val lists = KMeans.assign(e, coarse)
+        .select(col("vec_id"), col("cid"))
+      // probe RANKING of all CK cells for the query (not a cut at one
+      // nprobe — every level of the curve reads from this ranking)
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val prank = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wp))
+        .select(col("cid"), col("rn"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      // each corpus vector scored ONCE (exact integer dot), tagged with
+      // the probe rank of its cell
+      val scored = lists.join(broadcast(prank), Seq("cid"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .crossJoin(broadcast(q0))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("rn"),
+          expr(Pq.intDot(KMeans.scaleExpr("embedding"), "qs")).as("d"))
+      // replicate to the levels that include the cell: bounded CK× fanout
+      val repl = scored
+        .select(col("vec_id"), col("d"),
+          explode(expr(s"sequence(rn, $CK)")).as("nprobe"))
+      val wk = Window.partitionBy(col("nprobe"))
+        .orderBy(col("d").desc, col("vec_id").asc)
+      val topk = repl.withColumn("krn", row_number().over(wk))
+        .filter(col("krn") <= 10)
+        .select(col("nprobe"), col("vec_id"))
+      val tope = scored
+        .orderBy(col("d").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nCand = repl.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_cand"))
+      val hits = topk.join(broadcast(tope), Seq("vec_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("hits"))
+      nCand.join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe").cast("bigint").as("nprobe"), col("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+        .orderBy(col("nprobe"))
     }
   )
 }

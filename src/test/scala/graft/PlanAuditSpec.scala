@@ -120,7 +120,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // matryoshka's two top-k stages must never globally sort; residual
     // IVF-PQ's probe/top-k stages must never collapse either
     "q218_nb_lang_classifier", "q219_matryoshka_rerank",
-    "q220_residual_ivf_pq", "q221_sq8_quantized_search")
+    "q220_residual_ivf_pq", "q221_sq8_quantized_search",
+    // q222's per-level top-10 must window PARTITIONED BY nprobe
+    "q222_ivf_probe_curve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -197,8 +199,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q218_nb_lang_classifier", "q219_matryoshka_rerank",
       "q220_residual_ivf_pq",
       // q221's per-dim stats row and query row ride broadcasts into
-      // the one-pass quantize+score map stage
-      "q221_sq8_quantized_search")
+      // the one-pass quantize+score map stage; q222's probe ranking and
+      // query row broadcast into the single scoring pass
+      "q221_sq8_quantized_search", "q222_ivf_probe_curve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

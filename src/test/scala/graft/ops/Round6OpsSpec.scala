@@ -155,4 +155,25 @@ class Round6OpsSpec extends AnyFunSuite {
           s"${255L * exact} — quantizer arithmetic broken")
     }
   }
+
+  test("q222: probe curve is monotone and probing every cell recovers " +
+    "exact recall") {
+    assume(available, s"$dir absent — skipping")
+    val out = graft.SparkEntry.queries("q222_ivf_probe_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // candidates strictly grow with nprobe (no empty cells here), and
+    // recall can only improve as more cells are probed
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2, s"n_cand not increasing at nprobe=${b._1}")
+      assert(b._3 >= a._3, s"hits decreased at nprobe=${b._1}")
+    }
+    // the self-check: nprobe=CK scores the whole corpus exactly
+    val last = out.last
+    val nTotal = graft.Tables.table(spark, dir, "embeddings").count() - 1
+    assert(last._2 == nTotal,
+      s"full probe covers ${last._2} of $nTotal vectors")
+    assert(last._4 == 1.0, "full probe must recover exact recall@10")
+  }
 }
