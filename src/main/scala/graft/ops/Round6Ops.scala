@@ -42,6 +42,7 @@ object Round6Ops {
   private val CK = 4 // coarse centroids
   private val CITERS = 2 // coarse Lloyd iterations
   private val NPROBE = 2 // probed cells per query
+  private val QN = 32 // q223 streaming query count
   private val M = 4 // PQ subspaces
   private val SUB = 16 // dims per subspace (embeddings are 64-d)
   private val K = 8 // codewords per subspace
@@ -572,6 +573,125 @@ object Round6Ops {
           (coalesce(col("hits"), lit(0L)).cast("double") / 10)
             .as("recall_at_10"))
         .orderBy(col("nprobe"))
+    },
+
+    // E7×E12: STREAMING vector search — online serving: the IVF index
+    // (coarse codebook + cell-assigned corpus) is built ONCE batch-side,
+    // then a stream of query vectors is served through it. Each
+    // micro-batch probes its queries' NPROBE cells against the static
+    // lists (a stream-static equi-join on the cell id — the candidate
+    // fan-in never scans the corpus) and emits each query's exact
+    // top-10. Per-query results are independent, so the output is
+    // IDENTICAL however the source splits into micro-batches — which is
+    // what lets a batch DuckDB oracle hash-check a streaming query.
+    Q(
+      "q223_stream_vector_search",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |assign AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |qb AS (SELECT vec_id AS qid, embedding AS qe,
+         |    ${Pq.duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id < $QN),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
+         |          c.cid ASC) AS rn
+         |    FROM qb q, cl$CITERS c) WHERE rn <= $NPROBE),
+         |cand AS (
+         |  SELECT p.qid, l.vec_id
+         |  FROM lists l JOIN probes p ON l.cid = p.cid
+         |  WHERE l.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")} AS d
+         |  FROM cand c
+         |  JOIN qb q ON c.qid = q.qid
+         |  JOIN embeddings ev ON ev.vec_id = c.vec_id)
+         |SELECT qid, CAST(krn AS BIGINT) AS rank, vec_id, d
+         |FROM (
+         |  SELECT qid, vec_id, d,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY d DESC, vec_id ASC) AS krn
+         |  FROM scored) WHERE krn <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      // ---- the INDEX, built once batch-side (train-once artifact) ----
+      val e = Tables.table(s, dir, "embeddings")
+      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val lists = KMeans.assign(e, coarse)
+        .select(col("vec_id"), col("cid"),
+          expr(KMeans.scaleExpr("embedding")).as("sv"))
+      // ---- the QUERY STREAM ----
+      val qStream = embStream(s, dir).filter(col("vec_id") < QN)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_streamann").toString
+      val q = qStream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions.{broadcast => bc}
+          if (!batch.isEmpty) {
+            val qb = batch.select(col("vec_id").as("qid"),
+              col("embedding").as("qe"),
+              expr(KMeans.scaleExpr("embedding")).as("qs"))
+            val wp = Window.partitionBy(col("qid"))
+              .orderBy(col("cdot").desc, col("cid").asc)
+            val probes = qb.crossJoin(bc(coarse))
+              .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
+              .withColumn("rn", row_number().over(wp))
+              .filter(col("rn") <= NPROBE)
+              .select(col("qid"), col("qs"), col("cid"))
+            val wk = Window.partitionBy(col("qid"))
+              .orderBy(col("d").desc, col("vec_id").asc)
+            lists.join(bc(probes), Seq("cid"))
+              .filter(col("vec_id") =!= col("qid"))
+              .select(col("qid"), col("vec_id"),
+                expr(Pq.intDot("sv", "qs")).as("d"))
+              .withColumn("krn", row_number().over(wk))
+              .filter(col("krn") <= 10)
+              .select(col("qid"), col("krn").cast("bigint").as("rank"),
+                col("vec_id"), col("d"))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy(col("qid"), col("rank"))
     }
   )
+
+  /** Streaming source over the embeddings parquet (file-stream; the
+    * driver dirs ship it as one FILE, which a file stream cannot read
+    * directly — expose it through a scratch-dir symlink, as
+    * StreamOps.eventsStream does for events).
+    */
+  private def embStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = s"$dir/embeddings.parquet"
+    val target = java.nio.file.Paths.get(path)
+    val sourceDir =
+      if (java.nio.file.Files.isDirectory(target)) path
+      else {
+        val streamDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"),
+          s"graft_stream_emb_${Integer.toHexString(dir.hashCode)}")
+        java.nio.file.Files.createDirectories(streamDir)
+        val link = streamDir.resolve("embeddings.parquet")
+        if (java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          (!java.nio.file.Files.isSymbolicLink(link) ||
+            java.nio.file.Files.readSymbolicLink(link) != target))
+          java.nio.file.Files.delete(link)
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(link, target)
+        streamDir.toString
+      }
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).parquet(sourceDir)
+  }
 }

@@ -176,4 +176,26 @@ class Round6OpsSpec extends AnyFunSuite {
       s"full probe covers ${last._2} of $nTotal vectors")
     assert(last._4 == 1.0, "full probe must recover exact recall@10")
   }
+
+  test("q223: the streamed index serves every query a full, ordered " +
+    "top-10") {
+    assume(available, s"$dir absent — skipping")
+    val out = graft.SparkEntry.queries("q223_stream_vector_search")(
+      spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 32, s"expected 32 served queries, got ${byQ.size}")
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 10L),
+        s"query $qid: ranks not 1..10")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"query $qid: results not ordered by (score desc, vec_id)")
+      }
+      assert(!rows.exists(_._3 == qid),
+        s"query $qid: returned itself as a neighbour")
+    }
+  }
 }

@@ -54,7 +54,7 @@ FAMILIES = [
                           "q198", "q212"]),
     ("streaming (fixed-cost state machinery)",
      ["q55", "q56", "q57", "q91", "q92", "q108", "q115", "q116", "q117",
-      "q123", "q125", "q142", "q194", "q199"]),
+      "q123", "q125", "q142", "q194", "q199", "q223"]),
     ("multimodal", ["q60", "q61", "q188", "q189"]),
 ]
 
