@@ -69,7 +69,7 @@ object Pq {
   /** Train the M per-subspace codebooks and collapse them to one
     * broadcastable row: array of (sub, cid, cs) structs.
     */
-  private def trainPq(s: SparkSession, e: DataFrame): DataFrame =
+  private[ops] def trainPq(s: SparkSession, e: DataFrame): DataFrame =
     (0 until M).map { m =>
       val sub = e.select(col("vec_id"),
         expr(s"slice(embedding, ${m * SUB + 1}, $SUB)").as("embedding"))
@@ -112,7 +112,7 @@ object Pq {
     * query is served from the codes. All non-embedding columns (vec_id,
     * the probe-join cid) pass through.
     */
-  private def pqEncode(in: DataFrame, cbRow: DataFrame): DataFrame = {
+  private[ops] def pqEncode(in: DataFrame, cbRow: DataFrame): DataFrame = {
     val keep = in.columns.filter(_ != "embedding").toIndexedSeq.map(col)
     val base = in.crossJoin(broadcast(cbRow))
       .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
@@ -128,7 +128,7 @@ object Pq {
   /** ADC sum over stored codes c0..c{M-1} against a per-row `qs` query
     * vector (both broadcast-joined).
     */
-  private def adcFromCodes: String =
+  private[ops] def adcFromCodes: String =
     (0 until M).map { m =>
       intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
         s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
@@ -143,7 +143,7 @@ object Pq {
   // ---------------- shared oracle builders ---------------------------
 
   /** The M side-by-side per-subspace Lloyd chains. */
-  private def pqChains: String =
+  private[ops] def pqChains: String =
     (0 until M)
       .map(m => KMeans.oracleCtesSlice(K.toString, ITERS, m * SUB, SUB,
         s"_s$m"))
@@ -152,7 +152,7 @@ object Pq {
   /** Per-subspace encode CTEs `enc0..enc{M-1}` over source CTE `src`
     * (must expose vec_id + embedding).
     */
-  private def pqEncs(src: String): String =
+  private[ops] def pqEncs(src: String): String =
     (0 until M).map { m =>
       val sliced = duckScaled(
         s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
@@ -165,18 +165,18 @@ object Pq {
          |    FROM $src e, cl${ITERS}_s$m c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
-  private def pqAdcSum: String =
+  private[ops] def pqAdcSum: String =
     (0 until M).map { m =>
       duckIntDot(s"list_slice(q.qs, ${m * SUB + 1}, ${(m + 1) * SUB})",
         s"e$m.cs")
     }.mkString("(", ") + (", ")")
 
-  private def pqEncJoins: String =
+  private[ops] def pqEncJoins: String =
     (0 until M)
       .map(m => s"JOIN enc$m e$m ON v.vec_id = e$m.vec_id")
       .mkString("\n  ")
 
-  private val qvCte: String =
+  private[ops] val qvCte: String =
     s"qv AS (SELECT ${duckScaled("embedding")} AS qs\n" +
       "  FROM embeddings WHERE vec_id = 0)"
 

@@ -661,6 +661,105 @@ object Round6Ops {
         .start()
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(out).orderBy(col("qid"), col("rank"))
+    },
+
+    // E7: PERSISTED index artifacts — the round-5 verdict's "train once,
+    // write the artifact, serve many" made literal: the coarse codebook,
+    // the M PQ codebooks, and the encoded corpus (M byte-codes per
+    // vector) are each WRITTEN to parquet, and serving reads ONLY those
+    // artifacts — fresh scans with no lineage to the training plans, no
+    // raw-vector access outside the exact referee. Semantics are
+    // byte-identical to the inline q207 path (the spec proves output
+    // equality), so the gate pins the index LIFECYCLE: build → files →
+    // serve, the shape a 100 TB deployment has (the artifact dir is
+    // what ships to the serving cluster).
+    Q(
+      "q224_persisted_index_serve",
+      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+         |${Pq.pqChains},
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |  AND rn <= $NPROBE),
+         |cand AS (
+         |  SELECT l.vec_id, l.embedding
+         |  FROM (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1) l
+         |  JOIN probes p ON l.cid = p.cid
+         |  WHERE l.vec_id <> 0),
+         |${Pq.pqEncs("cand")},
+         |${Pq.qvCte},
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         |scored AS (
+         |  SELECT v.vec_id, ${Pq.pqAdcSum} AS adc,
+         |    ${Pq.duckIntDot(Pq.duckScaled("v.embedding"), "q.qs")}
+         |      AS exact
+         |  FROM cand v, qv q
+         |  ${Pq.pqEncJoins}),
+         |tope AS (
+         |  SELECT v.vec_id FROM embeddings v, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+                "q.qs")} DESC,
+         |    v.vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.adc, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, n.n_cand
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      // ---- BUILD: train, encode, persist the three artifacts ----
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_pqindex").toString
+      KMeans.codebook(s, e, CK, CITERS)
+        .write.mode("overwrite").parquet(s"$idx/coarse")
+      Pq.trainPq(s, e).write.mode("overwrite").parquet(s"$idx/pq")
+      Pq.pqEncode(
+          KMeans.assign(e, s.read.parquet(s"$idx/coarse")),
+          s.read.parquet(s"$idx/pq"))
+        .write.mode("overwrite").parquet(s"$idx/codes")
+      // ---- SERVE: fresh reads of the artifacts, nothing else ----
+      val coarse = s.read.parquet(s"$idx/coarse")
+      val cbRow = s.read.parquet(s"$idx/pq")
+      val codes = s.read.parquet(s"$idx/codes")
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= NPROBE)
+        .select(col("cid"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val cand = codes.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+      val scored = cand
+        .crossJoin(broadcast(cbRow))
+        .crossJoin(broadcast(q0))
+        .withColumn("adc", expr(Pq.adcFromCodes))
+        .select(col("vec_id"), col("adc"))
+      // exact referee: the evaluation harness, not the serving path
+      val exacts = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+      val globalTop = exacts
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+      scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+        .join(broadcast(exacts), Seq("vec_id"))
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nc))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
     }
   )
 

@@ -122,7 +122,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q218_nb_lang_classifier", "q219_matryoshka_rerank",
     "q220_residual_ivf_pq", "q221_sq8_quantized_search",
     // q222's per-level top-10 must window PARTITIONED BY nprobe
-    "q222_ivf_probe_curve")
+    "q222_ivf_probe_curve",
+    // q224's probe window + artifact-serve top-k must stay partitioned
+    "q224_persisted_index_serve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -201,7 +203,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q221's per-dim stats row and query row ride broadcasts into
       // the one-pass quantize+score map stage; q222's probe ranking and
       // query row broadcast into the single scoring pass
-      "q221_sq8_quantized_search", "q222_ivf_probe_curve")
+      "q221_sq8_quantized_search", "q222_ivf_probe_curve",
+      // q224: the artifact reads (coarse codebook, PQ row, probe list)
+      // broadcast into the stored-code join
+      "q224_persisted_index_serve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -198,4 +198,16 @@ class Round6OpsSpec extends AnyFunSuite {
         s"query $qid: returned itself as a neighbour")
     }
   }
+
+  test("q224: serving from the persisted artifacts equals the inline " +
+    "q207 path row for row") {
+    assume(available, s"$dir absent — skipping")
+    val fromDisk = graft.SparkEntry.queries("q224_persisted_index_serve")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    val inline = graft.SparkEntry.queries("q207_ivf_pq_search")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    assert(fromDisk == inline,
+      "persisted-artifact serve diverged from the inline IVF-PQ path — " +
+        "persistence must be transparent")
+  }
 }

@@ -38,7 +38,7 @@ FAMILIES = [
     ("similarity/ann", ["q50", "q51", "q52", "q59", "q74", "q75", "q140",
                         "q159", "q171", "q184", "q191", "q196", "q197",
                         "q202", "q207", "q211", "q215", "q217", "q219",
-                        "q220", "q221", "q222"]),
+                        "q220", "q221", "q222", "q224"]),
     ("text/corpus analysis", ["q40", "q41", "q42", "q79", "q113", "q127",
                               "q130", "q138", "q143", "q144", "q156",
                               "q157", "q177", "q179", "q183", "q190", "q203",
