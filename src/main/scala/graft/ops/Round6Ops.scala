@@ -633,21 +633,20 @@ object Round6Ops {
         .createTempDirectory("graft_streamann").toString
       val q = qStream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          import org.apache.spark.sql.functions.{broadcast => bc}
           if (!batch.isEmpty) {
             val qb = batch.select(col("vec_id").as("qid"),
               col("embedding").as("qe"),
               expr(KMeans.scaleExpr("embedding")).as("qs"))
             val wp = Window.partitionBy(col("qid"))
               .orderBy(col("cdot").desc, col("cid").asc)
-            val probes = qb.crossJoin(bc(coarse))
+            val probes = qb.crossJoin(broadcast(coarse))
               .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
               .withColumn("rn", row_number().over(wp))
               .filter(col("rn") <= NPROBE)
               .select(col("qid"), col("qs"), col("cid"))
             val wk = Window.partitionBy(col("qid"))
               .orderBy(col("d").desc, col("vec_id").asc)
-            lists.join(bc(probes), Seq("cid"))
+            lists.join(broadcast(probes), Seq("cid"))
               .filter(col("vec_id") =!= col("qid"))
               .select(col("qid"), col("vec_id"),
                 expr(Pq.intDot("sv", "qs")).as("d"))
