@@ -12,9 +12,12 @@ import graft.functions.ArrayDot
   * 2 nearest centroids' lists only, then ranks exactly. At 100 TB the
   * assignment is a write-time partition key and a probe touches 2/k of
   * the corpus. The coarse codebook is TRAINED — [[KMeans.codebook]]'s
-  * deterministic fixed-point Lloyd iterations (k=4, 2 iterations) seeded
-  * from the first k vectors — not a raw-vector stand-in; the oracle
-  * replays the same training as an unrolled CTE chain.
+  * deterministic fixed-point Lloyd iterations seeded from the first k
+  * vectors — not a raw-vector stand-in; the oracle replays the same
+  * training as an unrolled CTE chain. The cell count is CORPUS-DERIVED
+  * (k = max(4, floor(sqrt(n))/2), [[KMeans.servingK]]) so occupancy per
+  * cell grows ~2*sqrt(n) and a fixed-nprobe probe's work stays bounded
+  * as the corpus grows.
   *
   * q75: element-wise centroid of each label group (the k-means "update"
   * step / class-prototype computation) via posexplode + per-(label,pos)
@@ -26,13 +29,13 @@ object Ivf {
     s"list_reduce(list_transform(range(len($a)), " +
       s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
-  private val K = 4
   private val ITERS = 2
 
   val queries: Seq[Q] = Seq(
     Q(
       "q74_ann_ivf",
-      s"""WITH ${KMeans.oracleCtes(K, ITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, ITERS)},
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -50,7 +53,7 @@ object Ivf {
          |LIMIT 5""".stripMargin) { (s, dir) =>
       ArrayDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
-      val cb = KMeans.codebook(s, e, K, ITERS)
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), ITERS)
       // inverted lists: map-side argmax assignment under the broadcast
       // trained codebook (no k-times row blow-up, no window)
       val lists = KMeans.assign(e, cb)

@@ -148,6 +148,30 @@ object KMeans {
     cent
   }
 
+  // ---------------- scale-derived serving geometry --------------------
+  // The coarse-cell count of the SERVING index family (q74/q207/q217/
+  // q220/q222-q227) rides the same corpus-scaling law as q49's blocking
+  // codebook: k = max(4, floor(sqrt(n))/2), so expected cell occupancy
+  // grows ~2*sqrt(n) instead of n/CK — per-probe work stays bounded as
+  // the corpus grows (the round-6 verdict's "fixed IVF geometry" fix).
+  // Production indexes do exactly this (cells ~ sqrt(n)); the formula is
+  // shared verbatim with Round5Ops.scaledK so the blocking and serving
+  // families stay on one law.
+
+  /** Corpus-derived coarse-cell count for the serving index over `e`. */
+  private[ops] def servingK(e: DataFrame): Int =
+    Round5Ops.scaledK(e.count())
+
+  /** The same law as a one-row oracle CTE (named `kk`) over `src`. */
+  private[ops] def kkCte(src: String = "embeddings"): String =
+    s"kk AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS " +
+      s"DOUBLE))) AS BIGINT) // 2) AS k FROM $src)"
+
+  /** Scalar reference to the kk CTE, pluggable wherever oracleCtes takes
+    * `k` as a SQL expression.
+    */
+  private[ops] val duckK = "(SELECT k FROM kk)"
+
   // ---------------- DuckDB oracle: unrolled Lloyd iterations ----------
 
   private[ops] def duckDot(emb: String, cs: String): String =

@@ -182,7 +182,8 @@ object Pq {
 
   // ---------------- gates --------------------------------------------
 
-  private val CK = 4 // coarse centroids (q74's codebook)
+  // coarse geometry: cell count is corpus-derived (KMeans.servingK —
+  // k = max(4, floor(sqrt(n))/2)), shared with q74's index
   private val CITERS = 2
   private val NPROBE = 2
   private val QN = 32 // batched-search (q217) query count
@@ -230,7 +231,8 @@ object Pq {
     // M-byte codes — reading neither all vectors nor full vectors).
     Q(
       "q207_ivf_pq_search",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |$pqChains,
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -266,7 +268,7 @@ object Pq {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val coarse = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val lists = KMeans.assign(e, coarse)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("cid").asc)
@@ -306,7 +308,8 @@ object Pq {
     // recall, not to serve.
     Q(
       "q217_batched_ivf_pq",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |$pqChains,
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -363,7 +366,7 @@ object Pq {
          |LEFT JOIN hits h ON q.qid = h.qid
          |ORDER BY q.qid""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val coarse = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val cbRow = trainPq(s, e)
       // corpus side, built ONCE: coarse list + M stored PQ codes per
       // vector (M bytes standing in for 64 floats — the served index)

@@ -37,9 +37,10 @@ object Round6Ops {
   private val C = 64 // q219 stage-1 candidate count
   private val PRE = 16 // q219 prefix dims (of 64)
 
-  // q220 residual IVF-PQ: same geometry as q74/q202/q207 so the coarse
-  // codebook is the SHARED train-once artifact
-  private val CK = 4 // coarse centroids
+  // q220+ residual IVF-PQ / serving family: the coarse-cell count is
+  // CORPUS-DERIVED (KMeans.servingK = max(4, floor(sqrt(n))/2)), shared
+  // with q74/q207/q217 so the coarse codebook stays the ONE train-once
+  // artifact and per-cell occupancy stays ~2*sqrt(n) as the corpus grows
   private val CITERS = 2 // coarse Lloyd iterations
   private val NPROBE = 2 // probed cells per query
   private val QN = 32 // q223 streaming query count
@@ -262,7 +263,8 @@ object Round6Ops {
     // top-10 and n_cand records the probed-slice size.
     Q(
       "q220_residual_ivf_pq",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -310,7 +312,7 @@ object Round6Ops {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val coarse = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val ccsSel = coarse.select(col("cid"), col("cs").as("ccs"))
       // exact BIGINT residual to the assigned centroid; rd is its /1e6
       // double bridge into the shared Lloyd trainer
@@ -474,18 +476,30 @@ object Round6Ops {
     },
 
     // E7: the IVF probe OPERATING CURVE — recall@10 and candidate count
-    // at every nprobe level 1..CK (IVFFlat: exact scoring of probed
-    // candidates, so the curve isolates what the COARSE stage loses).
-    // This is the measurement that tunes a production index: pick the
-    // smallest nprobe on the curve that clears the recall target. The
-    // candidate set is scored ONCE; levels replicate only (vec_id,
-    // probe-rank) pairs (≤ CK× bounded fanout), per-level top-10 is a
-    // window PARTITIONED BY nprobe, and nprobe=CK probes every cell —
-    // recall there must be exactly 1.0, a built-in self-check the spec
-    // enforces.
+    // at a LOG-SPACED grid of nprobe levels {min(2^g, CK)} up to the
+    // (corpus-derived) cell count CK (IVFFlat scores probed candidates
+    // exactly, so the curve isolates what the COARSE stage loses). This
+    // is the measurement that tunes a production index: pick the
+    // smallest nprobe on the curve that clears the recall target.
+    //
+    // Scale shape — COUNTING, not materialization: because IVFFlat
+    // scores exactly, a level's top-10 ∩ exact top-10 is precisely the
+    // exact-top-10 members whose cell has probe rank ≤ level (any exact
+    // neighbour inside the candidate set beats every other candidate),
+    // so recall needs only the 10-row referee tagged with cell ranks,
+    // and n_cand is a sum over the CK-row (rank, cell-size) table —
+    // NEITHER needs the per-level candidate replication the round-6
+    // formulation paid (≤CK× fanout; quadratic-ish once CK rides
+    // sqrt(n)). The whole curve costs one corpus scan (the referee) +
+    // O(CK·|grid|) arithmetic, at every corpus size. Levels come from
+    // an explicit spine, so a level whose probed cells are empty still
+    // emits n_cand=0/hits=0 deterministically (round-6 advice). The
+    // grid ends exactly at CK, where recall MUST be 1.0 — the built-in
+    // self-check the spec enforces.
     Q(
       "q222_ivf_probe_curve",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |assign AS (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -496,39 +510,38 @@ object Round6Ops {
          |prank AS (SELECT cid, rn FROM assign WHERE vec_id = 0),
          |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id = 0),
-         |scored AS (
-         |  SELECT l.vec_id, p.rn,
-         |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")} AS d
-         |  FROM lists l
-         |  JOIN prank p ON l.cid = p.cid
-         |  JOIN embeddings ev ON ev.vec_id = l.vec_id, qv q
-         |  WHERE l.vec_id <> 0),
-         |levels AS (SELECT unnest(generate_series(1, $CK)) AS nprobe),
-         |repl AS (
-         |  SELECT lv.nprobe, s.vec_id, s.d
-         |  FROM scored s JOIN levels lv ON s.rn <= lv.nprobe),
-         |topk AS (
-         |  SELECT nprobe, vec_id FROM (
-         |    SELECT nprobe, vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY nprobe
-         |        ORDER BY d DESC, vec_id ASC) AS krn
-         |    FROM repl) WHERE krn <= 10),
+         |levels AS (
+         |  SELECT DISTINCT LEAST(CAST(1 AS BIGINT) << g, k) AS nprobe
+         |  FROM (SELECT unnest(generate_series(0, 30)) AS g), kk),
+         |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM lists WHERE vec_id <> 0 GROUP BY cid),
+         |cellrank AS (
+         |  SELECT p.rn, COALESCE(s.sz, 0) AS sz
+         |  FROM prank p LEFT JOIN sizes s ON p.cid = s.cid),
          |tope AS (
-         |  SELECT vec_id FROM scored
-         |  ORDER BY d DESC, vec_id ASC LIMIT 10),
-         |ncand AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
-         |  FROM repl GROUP BY nprobe),
-         |hits AS (
-         |  SELECT t.nprobe, CAST(COUNT(x.vec_id) AS BIGINT) AS hits
-         |  FROM topk t LEFT JOIN tope x ON t.vec_id = x.vec_id
-         |  GROUP BY t.nprobe)
-         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe, n.n_cand,
-         |  COALESCE(h.hits, 0) AS hits,
-         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall_at_10
-         |FROM ncand n LEFT JOIN hits h ON n.nprobe = h.nprobe
-         |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+         |  SELECT v.vec_id FROM embeddings v, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+                "q.qs")} DESC, v.vec_id ASC LIMIT 10),
+         |toprn AS (
+         |  SELECT t.vec_id, p.rn
+         |  FROM tope t JOIN lists l ON t.vec_id = l.vec_id
+         |  JOIN prank p ON l.cid = p.cid),
+         |nc AS (
+         |  SELECT lv.nprobe, CAST(SUM(CASE WHEN c.rn <= lv.nprobe
+         |    THEN c.sz ELSE 0 END) AS BIGINT) AS n_cand
+         |  FROM levels lv, cellrank c GROUP BY lv.nprobe),
+         |ht AS (
+         |  SELECT lv.nprobe, CAST(COUNT(t.vec_id) AS BIGINT) AS hits
+         |  FROM levels lv LEFT JOIN toprn t ON t.rn <= lv.nprobe
+         |  GROUP BY lv.nprobe)
+         |SELECT n.nprobe, n.n_cand, h.hits,
+         |  CAST(h.hits AS DOUBLE) / 10 AS recall_at_10
+         |FROM nc n JOIN ht h ON n.nprobe = h.nprobe
+         |ORDER BY n.nprobe""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val ck = KMeans.servingK(e)
+      val coarse = KMeans.codebook(s, e, ck, CITERS)
       val lists = KMeans.assign(e, coarse)
         .select(col("vec_id"), col("cid"))
       // probe RANKING of all CK cells for the query (not a cut at one
@@ -542,36 +555,37 @@ object Round6Ops {
         .select(col("cid"), col("rn"))
       val q0 = e.filter(col("vec_id") === 0)
         .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      // each corpus vector scored ONCE (exact integer dot), tagged with
-      // the probe rank of its cell
-      val scored = lists.join(broadcast(prank), Seq("cid"))
-        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // the explicit level spine: {min(2^g, CK)} — log-spaced, ends at CK
+      import s.implicits._
+      val levels = (0 to 30).map(g => math.min(1L << g, ck.toLong))
+        .distinct.sorted.toDF("nprobe")
+      // CK-row (probe-rank, cell-size) table: n_cand per level is a
+      // conditional sum over it — no candidate materialization
+      val sizes = lists.filter(col("vec_id") =!= 0)
+        .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+      val cellrank = prank.join(sizes, Seq("cid"), "left")
+        .select(col("rn"), coalesce(col("sz"), lit(0L)).as("sz"))
+      // the ONE corpus scan: exact top-10 referee, tagged with cell rank
+      val tope = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q0))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("rn"),
+        .select(col("vec_id"),
           expr(Pq.intDot(KMeans.scaleExpr("embedding"), "qs")).as("d"))
-      // replicate to the levels that include the cell: bounded CK× fanout
-      val repl = scored
-        .select(col("vec_id"), col("d"),
-          explode(expr(s"sequence(rn, $CK)")).as("nprobe"))
-      val wk = Window.partitionBy(col("nprobe"))
-        .orderBy(col("d").desc, col("vec_id").asc)
-      val topk = repl.withColumn("krn", row_number().over(wk))
-        .filter(col("krn") <= 10)
-        .select(col("nprobe"), col("vec_id"))
-      val tope = scored
         .orderBy(col("d").desc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"), lit(1).as("hit"))
-      val nCand = repl.groupBy(col("nprobe"))
-        .agg(count(lit(1)).as("n_cand"))
-      val hits = topk.join(broadcast(tope), Seq("vec_id"), "left")
+        .select(col("vec_id"))
+      val toprn = lists.join(broadcast(tope), Seq("vec_id"))
+        .join(broadcast(prank), Seq("cid"))
+        .select(col("rn"))
+      val nc = levels.crossJoin(broadcast(cellrank))
         .groupBy(col("nprobe"))
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("hits"))
-      nCand.join(hits, Seq("nprobe"), "left")
-        .select(col("nprobe").cast("bigint").as("nprobe"), col("n_cand"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)).cast("double") / 10)
-            .as("recall_at_10"))
+        .agg(sum(when(col("rn") <= col("nprobe"), col("sz"))
+          .otherwise(0L)).cast("bigint").as("n_cand"))
+      val ht = levels.join(broadcast(toprn),
+          col("rn") <= col("nprobe"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(col("rn")).as("hits"))
+      nc.join(ht, Seq("nprobe"))
+        .select(col("nprobe"), col("n_cand"), col("hits"),
+          (col("hits").cast("double") / 10).as("recall_at_10"))
         .orderBy(col("nprobe"))
     },
 
@@ -586,7 +600,8 @@ object Round6Ops {
     // what lets a batch DuckDB oracle hash-check a streaming query.
     Q(
       "q223_stream_vector_search",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |assign AS (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -623,43 +638,21 @@ object Round6Ops {
          |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
       // ---- the INDEX, built once batch-side (train-once artifact) ----
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, CK, CITERS)
+      val coarse = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val lists = KMeans.assign(e, coarse)
         .select(col("vec_id"), col("cid"),
           expr(KMeans.scaleExpr("embedding")).as("sv"))
       // ---- the QUERY STREAM ----
       val qStream = embStream(s, dir).filter(col("vec_id") < QN)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_streamann").toString
+      // deterministic per-dir sink root, WIPED at query start — repeated
+      // executions never accumulate artifacts (round-6 advice)
+      val out = scratchDir(
+        s"graft_streamann_${Integer.toHexString(dir.hashCode)}")
       val q = qStream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val qb = batch.select(col("vec_id").as("qid"),
-              col("embedding").as("qe"),
-              expr(KMeans.scaleExpr("embedding")).as("qs"))
-            val wp = Window.partitionBy(col("qid"))
-              .orderBy(col("cdot").desc, col("cid").asc)
-            val probes = qb.crossJoin(broadcast(coarse))
-              .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
-              .withColumn("rn", row_number().over(wp))
-              .filter(col("rn") <= NPROBE)
-              .select(col("qid"), col("qs"), col("cid"))
-            val wk = Window.partitionBy(col("qid"))
-              .orderBy(col("d").desc, col("vec_id").asc)
-            lists.join(broadcast(probes), Seq("cid"))
-              .filter(col("vec_id") =!= col("qid"))
-              .select(col("qid"), col("vec_id"),
-                expr(Pq.intDot("sv", "qs")).as("d"))
-              .withColumn("krn", row_number().over(wk))
-              .filter(col("krn") <= 10)
-              .select(col("qid"), col("krn").cast("bigint").as("rank"),
-                col("vec_id"), col("d"))
-              .write.mode("append").parquet(out)
-          }
-        }
+        .foreachBatch(serveBatch(lists, coarse, out) _)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(out).orderBy(col("qid"), col("rank"))
+      s.read.parquet(s"$out/b*").orderBy(col("qid"), col("rank"))
     },
 
     // E7: PERSISTED index artifacts — the round-5 verdict's "train once,
@@ -674,7 +667,8 @@ object Round6Ops {
     // what ships to the serving cluster).
     Q(
       "q224_persisted_index_serve",
-      s"""WITH ${KMeans.oracleCtes(CK, CITERS)},
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |${Pq.pqChains},
          |assign AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -712,16 +706,10 @@ object Round6Ops {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      // ---- BUILD: train, encode, persist the three artifacts ----
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_pqindex").toString
-      KMeans.codebook(s, e, CK, CITERS)
-        .write.mode("overwrite").parquet(s"$idx/coarse")
-      Pq.trainPq(s, e).write.mode("overwrite").parquet(s"$idx/pq")
-      Pq.pqEncode(
-          KMeans.assign(e, s.read.parquet(s"$idx/coarse")),
-          s.read.parquet(s"$idx/pq"))
-        .write.mode("overwrite").parquet(s"$idx/codes")
+      // ---- BUILD: the persisted artifacts — memoized per dir, so the
+      // first execution builds and every later one (Bench's timed
+      // passes) measures SERVING alone, the deployment shape ----
+      val idx = VecIndex.artifacts(s, dir, "full", e)
       // ---- SERVE: fresh reads of the artifacts, nothing else ----
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
@@ -743,17 +731,22 @@ object Round6Ops {
         .crossJoin(broadcast(q0))
         .withColumn("adc", expr(Pq.adcFromCodes))
         .select(col("vec_id"), col("adc"))
-      // exact referee: the evaluation harness, not the serving path
-      val exacts = e.filter(col("vec_id") =!= 0)
+      val top = scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+      // exact referee: the evaluation harness, not the serving path. The
+      // full scan feeds ONLY a 10-row top-k heap and a broadcast-of-10
+      // lookup — never an O(N) broadcast (round-6 advice)
+      val exactAll = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q0))
         .select(col("vec_id"), expr(Pq.intDot(
           KMeans.scaleExpr("embedding"), "qs")).as("exact"))
-      val globalTop = exacts
+      val globalTop = exactAll
         .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), lit(1).as("hit"))
+      val exactTop = exactAll
+        .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
       val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
-      scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
-        .join(broadcast(exacts), Seq("vec_id"))
+      top
+        .join(broadcast(exactTop), Seq("vec_id"))
         .join(broadcast(globalTop), Seq("vec_id"), "left")
         .crossJoin(broadcast(nc))
         .select(col("vec_id"), col("adc"), col("exact"),
@@ -761,6 +754,61 @@ object Round6Ops {
         .orderBy(col("adc").desc, col("vec_id").asc)
     }
   )
+
+  /** One micro-batch of the q223 serving path: probe each query's NPROBE
+    * cells against the static lists, emit its exact top-10.
+    *
+    * IDEMPOTENT under retry: foreachBatch delivers micro-batches
+    * at-least-once, so a retried batch must REPLACE its previous output,
+    * not append to it — each batch writes to its own batchId-keyed
+    * subdir with mode overwrite (the q198 batch-ledger discipline
+    * applied to a file sink). Round6OpsSpec replays a batch and asserts
+    * the output fingerprint is unchanged.
+    */
+  private[ops] def serveBatch(
+      lists: DataFrame, coarse: DataFrame, out: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val qb = batch.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = qb.crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= NPROBE)
+        .select(col("qid"), col("qs"), col("cid"))
+      val wk = Window.partitionBy(col("qid"))
+        .orderBy(col("d").desc, col("vec_id").asc)
+      lists.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(Pq.intDot("sv", "qs")).as("d"))
+        .withColumn("krn", row_number().over(wk))
+        .filter(col("krn") <= 10)
+        .select(col("qid"), col("krn").cast("bigint").as("rank"),
+          col("vec_id"), col("d"))
+        .write.mode("overwrite").parquet(s"$out/b$batchId")
+    }
+  }
+
+  /** Deterministic scratch dir under java.io.tmpdir, wiped clean — the
+    * re-runnable alternative to createTempDirectory-per-invocation
+    * (which accumulated O(corpus) parquet across bench sweeps).
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      } finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 
   /** Streaming source over the embeddings parquet (file-stream; the
     * driver dirs ship it as one FILE, which a file stream cannot read

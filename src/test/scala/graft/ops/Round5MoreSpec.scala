@@ -109,7 +109,8 @@ class Round5MoreSpec extends AnyFunSuite {
 
   // ---- q207: the probe bounds the candidate set ---------------------
 
-  test("q207: probing 2 of 4 coarse lists scores fewer than all vectors") {
+  test("q207: probing 2 of the corpus-derived coarse lists scores fewer " +
+    "than all vectors") {
     assume(available, s"$dir absent — skipping")
     val rows = graft.SparkEntry.queries("q207_ivf_pq_search")(spark, dir)
       .collect()

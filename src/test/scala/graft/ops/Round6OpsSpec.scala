@@ -156,24 +156,33 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q222: probe curve is monotone and probing every cell recovers " +
-    "exact recall") {
+  test("q222: probe curve covers the log-spaced grid up to the " +
+    "corpus-derived cell count, is monotone, and probing every cell " +
+    "recovers exact recall") {
     assume(available, s"$dir absent — skipping")
     val out = graft.SparkEntry.queries("q222_ivf_probe_curve")(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
-    // candidates strictly grow with nprobe (no empty cells here), and
-    // recall can only improve as more cells are probed
+    // the level spine: {min(2^g, CK)} with CK = max(4, floor(sqrt(n))/2)
+    // derived from the corpus — the round-6 verdict's scale-derived
+    // geometry (fixed CK=4 is gone)
+    val n = graft.Tables.table(spark, dir, "embeddings").count()
+    val ck = math.max(4L, math.floor(math.sqrt(n.toDouble)).toLong / 2)
+    val grid = (0 to 30).map(g => math.min(1L << g, ck)).distinct.sorted
+    assert(out.map(_._1).toSeq == grid,
+      s"levels ${out.map(_._1).toSeq} != expected grid $grid")
+    assert(ck > 4, s"corpus of $n vectors should derive CK > 4, got $ck")
+    // candidates never shrink with nprobe, and recall can only improve
+    // as more cells are probed
     out.sliding(2).foreach { case Array(a, b) =>
-      assert(b._2 > a._2, s"n_cand not increasing at nprobe=${b._1}")
+      assert(b._2 >= a._2, s"n_cand decreased at nprobe=${b._1}")
       assert(b._3 >= a._3, s"hits decreased at nprobe=${b._1}")
     }
     // the self-check: nprobe=CK scores the whole corpus exactly
     val last = out.last
-    val nTotal = graft.Tables.table(spark, dir, "embeddings").count() - 1
-    assert(last._2 == nTotal,
-      s"full probe covers ${last._2} of $nTotal vectors")
+    assert(last._1 == ck, s"last level ${last._1} != CK $ck")
+    assert(last._2 == n - 1,
+      s"full probe covers ${last._2} of ${n - 1} vectors")
     assert(last._4 == 1.0, "full probe must recover exact recall@10")
   }
 
@@ -197,6 +206,36 @@ class Round6OpsSpec extends AnyFunSuite {
       assert(!rows.exists(_._3 == qid),
         s"query $qid: returned itself as a neighbour")
     }
+  }
+
+  test("q223 sink is retry-idempotent: replaying a micro-batch leaves " +
+    "the output bit-for-bit unchanged") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    // the exact serving path q223's foreachBatch runs, driven directly
+    // so one micro-batch can be REPLAYED (foreachBatch is at-least-once;
+    // a retried batch must replace, not append — round-6 verdict task 2)
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val coarse = KMeans.codebook(spark, e, KMeans.servingK(e), 2)
+    val lists = KMeans.assign(e, coarse)
+      .select(col("vec_id"), col("cid"),
+        expr(KMeans.scaleExpr("embedding")).as("sv"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_replay").toString
+    val batch = e.filter(col("vec_id") < 32)
+    Round6Ops.serveBatch(lists, coarse, out)(batch, 7L)
+    def snapshot(): Seq[Seq[Any]] = spark.read.parquet(s"$out/b7")
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+      .sortBy(_.mkString("|"))
+    val first = snapshot()
+    assert(first.nonEmpty, "batch produced no rows")
+    Round6Ops.serveBatch(lists, coarse, out)(batch, 7L) // the retry
+    val second = snapshot()
+    assert(second.size == first.size,
+      s"replayed batch changed row count ${first.size} -> ${second.size}" +
+        " — sink is append-duplicating, not idempotent")
+    assert(second == first,
+      "replayed batch changed the output — sink is not idempotent")
   }
 
   test("q224: serving from the persisted artifacts equals the inline " +
