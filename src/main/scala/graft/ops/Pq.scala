@@ -144,10 +144,63 @@ object Pq {
 
   /** The M side-by-side per-subspace Lloyd chains. */
   private[ops] def pqChains: String =
+    pqChainsFrom("embeddings")
+
+  /** Variant trained on an arbitrary source CTE (q225 trains PQ on the
+    * BASE split only; new vectors must encode against those codebooks
+    * without retraining).
+    */
+  private[ops] def pqChainsFrom(src: String): String =
     (0 until M)
       .map(m => KMeans.oracleCtesSlice(K.toString, ITERS, m * SUB, SUB,
-        s"_s$m"))
+        s"_s$m", src))
       .mkString(",\n")
+
+  /** Per-subspace CODE-ID encode CTEs `code<tag><m>` over `src` (must
+    * expose vec_id + embedding): (vec_id, code) — the stored M-byte form
+    * a persisted index keeps, used by the q225/q227 artifact
+    * fingerprints and ADC joins.
+    */
+  private[ops] def pqCodeEncs(src: String, tag: String): String =
+    (0 until M).map { m =>
+      val sliced = duckScaled(
+        s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
+      s"""code$tag$m AS (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckIntDot(sliced, "c.cs")} DESC, c.cid ASC)
+         |        AS rn
+         |    FROM $src e, cl${ITERS}_s$m c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Assemble a (vec_id, cid, c0..c{M-1}) codes CTE from `listsSrc`
+    * (vec_id, cid) and the M code CTEs tagged `tag`.
+    */
+  private[ops] def duckCodesCte(
+      name: String, listsSrc: String, tag: String): String =
+    s"""$name AS (
+       |  SELECT l.vec_id, l.cid, ${(0 until M)
+         .map(m => s"e$m.code AS c$m").mkString(", ")}
+       |  FROM $listsSrc l
+       |  ${(0 until M)
+         .map(m => s"JOIN code$tag$m e$m ON l.vec_id = e$m.vec_id")
+         .mkString("\n  ")})""".stripMargin
+
+  /** ADC sum for a codes row `v` (columns c0..c{M-1}) against query `q`
+    * (column qs), resolving codewords from the cl chains.
+    */
+  private[ops] val duckAdcFromCodes: String =
+    (0 until M).map { m =>
+      duckIntDot(s"list_slice(q.qs, ${m * SUB + 1}, ${(m + 1) * SUB})",
+        s"w$m.cs")
+    }.mkString("(", ") + (", ")")
+
+  /** The codeword joins duckAdcFromCodes needs (`v` = the codes row). */
+  private[ops] val duckAdcJoins: String =
+    (0 until M)
+      .map(m => s"JOIN cl${ITERS}_s$m w$m ON w$m.cid = v.c$m")
+      .mkString("\n  ")
 
   /** Per-subspace encode CTEs `enc0..enc{M-1}` over source CTE `src`
     * (must expose vec_id + embedding).

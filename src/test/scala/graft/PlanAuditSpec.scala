@@ -121,10 +121,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // IVF-PQ's probe/top-k stages must never collapse either
     "q218_nb_lang_classifier", "q219_matryoshka_rerank",
     "q220_residual_ivf_pq", "q221_sq8_quantized_search",
-    // q222's per-level top-10 must window PARTITIONED BY nprobe
+    // q222's probe-rank window must stay partitioned
     "q222_ivf_probe_curve",
     // q224's probe window + artifact-serve top-k must stay partitioned
-    "q224_persisted_index_serve")
+    "q224_persisted_index_serve",
+    // round 7: the ingest/compact gates' probe windows and the batch
+    // curve's per-query probe-rank + exact-referee windows must all
+    // stay keyed (vec_id / qid), never a single-partition collapse
+    "q225_incremental_index_ingest", "q226_batch_probe_curve",
+    "q227_index_delete_compact")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -206,7 +211,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q221_sq8_quantized_search", "q222_ivf_probe_curve",
       // q224: the artifact reads (coarse codebook, PQ row, probe list)
       // broadcast into the stored-code join
-      "q224_persisted_index_serve")
+      "q224_persisted_index_serve",
+      // round 7: the ingest gate's codebook/probe/fingerprint rows, the
+      // batch curve's query batch + rank tables, and the compact gate's
+      // tombstone-era artifact rows all ride broadcasts
+      "q225_incremental_index_ingest", "q226_batch_probe_curve",
+      "q227_index_delete_compact")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
