@@ -36,14 +36,14 @@ object Ivf {
       "q74_ann_ivf",
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, ITERS)},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$ITERS c),
-         |lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
-         |probes AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
+         |lists AS MATERIALIZED (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+         |probes AS MATERIALIZED (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT l.vec_id,
          |  ROUND(${duckDot("l.embedding", "q.qe")}, 6) AS cosine

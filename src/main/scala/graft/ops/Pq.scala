@@ -165,7 +165,7 @@ object Pq {
     (0 until M).map { m =>
       val sliced = duckScaled(
         s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
-      s"""code$tag$m AS (
+      s"""code$tag$m AS MATERIALIZED (
          |  SELECT vec_id, cid AS code FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -209,7 +209,7 @@ object Pq {
     (0 until M).map { m =>
       val sliced = duckScaled(
         s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
-      s"""enc$m AS (
+      s"""enc$m AS MATERIALIZED (
          |  SELECT vec_id, cs FROM (
          |    SELECT e.vec_id, c.cs,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -247,7 +247,7 @@ object Pq {
       s"""WITH $pqChains,
          |${pqEncs("embeddings")},
          |$qvCte,
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id, $pqAdcSum AS adc,
          |    ${duckIntDot(duckScaled("v.embedding"), "q.qs")} AS exact
          |  FROM embeddings v, qv q
@@ -287,15 +287,15 @@ object Pq {
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |$pqChains,
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |probes AS MATERIALIZED (SELECT cid FROM assign WHERE vec_id = 0
          |  AND rn <= $NPROBE),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT l.vec_id, l.embedding
          |  FROM (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1) l
          |  JOIN probes p ON l.cid = p.cid
@@ -303,7 +303,7 @@ object Pq {
          |${pqEncs("cand")},
          |$qvCte,
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id, $pqAdcSum AS adc,
          |    ${duckIntDot(duckScaled("v.embedding"), "q.qs")} AS exact
          |  FROM cand v, qv q
@@ -364,17 +364,17 @@ object Pq {
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |$pqChains,
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-         |qb AS (SELECT vec_id AS qid, embedding AS qe,
+         |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |qb AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
          |    ${duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id < $QN),
-         |probes AS (
+         |probes AS MATERIALIZED (
          |  SELECT qid, cid FROM (
          |    SELECT q.qid, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.qid
@@ -382,11 +382,11 @@ object Pq {
          |          c.cid ASC) AS rn
          |    FROM qb q, cl$CITERS c) WHERE rn <= $NPROBE),
          |${pqEncs("embeddings")},
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT p.qid, l.vec_id
          |  FROM lists l JOIN probes p ON l.cid = p.cid
          |  WHERE l.vec_id <> p.qid),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT c.qid, c.vec_id, $pqAdcSum AS adc
          |  FROM cand c JOIN qb q ON c.qid = q.qid
          |  ${(0 until M).map(m =>

@@ -65,7 +65,7 @@ object Round6Ops {
     (0 until M).map { m =>
       val sliced = Pq.duckScaled(
         s"list_slice(e.embedding, ${m * SUB + 1}, ${(m + 1) * SUB})")
-      s"""renc$m AS (
+      s"""renc$m AS MATERIALIZED (
          |  SELECT vec_id, cs FROM (
          |    SELECT e.vec_id, c.cs,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -117,7 +117,7 @@ object Round6Ops {
         |      (SELECT COUNT(*) FROM train)), 6) AS DECIMAL(18,9)) AS plp
         |  FROM train GROUP BY lang),
         |stok AS (SELECT doc_id, unnest(t) AS tok FROM test),
-        |scored AS (
+        |scored AS MATERIALIZED (
         |  SELECT s.doc_id, o.lang,
         |    CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0) / (o.n + v.vs)), 6)
         |      AS DECIMAL(18,9)) AS lp
@@ -196,7 +196,7 @@ object Round6Ops {
       s"""WITH qv AS (
          |  SELECT ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id = 0),
-         |sv AS (
+         |sv AS MATERIALIZED (
          |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS sv
          |  FROM embeddings WHERE vec_id <> 0),
          |coarse AS (
@@ -265,13 +265,13 @@ object Round6Ops {
       "q220_residual_ivf_pq",
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |resid AS (
+         |resid AS MATERIALIZED (
          |  SELECT a.vec_id, a.cid,
          |    list_transform(range(len(a.embedding)), i ->
          |      CAST(CAST(FLOOR(CAST(a.embedding[i+1] AS DOUBLE) * 1000000
@@ -281,16 +281,16 @@ object Round6Ops {
          |  JOIN cl$CITERS c ON a.cid = c.cid),
          |$residChains,
          |$residEncs,
-         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |probes AS MATERIALIZED (SELECT cid FROM assign WHERE vec_id = 0
          |  AND rn <= $NPROBE),
          |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id = 0),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT r.vec_id, r.cid FROM resid r
          |  JOIN probes p ON r.cid = p.cid
          |  WHERE r.vec_id <> 0),
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id,
          |    (${Pq.duckIntDot("q.qs", "cc.cs")}) + $residAdcSum AS adc,
          |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
@@ -399,18 +399,18 @@ object Round6Ops {
       s"""WITH sv AS (
          |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS sv
          |  FROM embeddings),
-         |svrows AS (
+         |svrows AS MATERIALIZED (
          |  SELECT vec_id, generate_subscripts(sv, 1) AS pos,
          |    unnest(sv) AS sval
          |  FROM sv),
-         |stats AS (
+         |stats AS MATERIALIZED (
          |  SELECT pos, MIN(sval) AS mn, MAX(sval) AS mx
          |  FROM svrows GROUP BY pos),
-         |statrow AS (
+         |statrow AS MATERIALIZED (
          |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
          |  FROM stats),
          |qv AS (SELECT sv AS qs FROM sv WHERE vec_id = 0),
-         |recon AS (
+         |recon AS MATERIALIZED (
          |  SELECT v.vec_id,
          |    list_transform(range(len(v.sv)), i ->
          |      s.mn[i+1] * 255 +
@@ -419,7 +419,7 @@ object Round6Ops {
          |      * (s.mx[i+1] - s.mn[i+1])) AS r255
          |  FROM sv v, statrow s
          |  WHERE v.vec_id <> 0),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT r.vec_id, ${Pq.duckIntDot("r.r255", "q.qs")} AS approx,
          |    ${Pq.duckIntDot("v.sv", "q.qs")} AS exact
          |  FROM recon r JOIN sv v ON v.vec_id = r.vec_id, qv q),
@@ -500,14 +500,14 @@ object Round6Ops {
       "q222_ivf_probe_curve",
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-         |prank AS (SELECT cid, rn FROM assign WHERE vec_id = 0),
+         |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |prank AS MATERIALIZED (SELECT cid, rn FROM assign WHERE vec_id = 0),
          |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id = 0),
          |levels AS (
@@ -602,28 +602,28 @@ object Round6Ops {
       "q223_stream_vector_search",
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-         |qb AS (SELECT vec_id AS qid, embedding AS qe,
+         |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |qb AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
          |    ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id < $QN),
-         |probes AS (
+         |probes AS MATERIALIZED (
          |  SELECT qid, cid FROM (
          |    SELECT q.qid, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.qid
          |        ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
          |          c.cid ASC) AS rn
          |    FROM qb q, cl$CITERS c) WHERE rn <= $NPROBE),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT p.qid, l.vec_id
          |  FROM lists l JOIN probes p ON l.cid = p.cid
          |  WHERE l.vec_id <> p.qid),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT c.qid, c.vec_id,
          |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")} AS d
          |  FROM cand c
@@ -670,15 +670,15 @@ object Round6Ops {
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |${Pq.pqChains},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |probes AS MATERIALIZED (SELECT cid FROM assign WHERE vec_id = 0
          |  AND rn <= $NPROBE),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT l.vec_id, l.embedding
          |  FROM (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1) l
          |  JOIN probes p ON l.cid = p.cid
@@ -686,7 +686,7 @@ object Round6Ops {
          |${Pq.pqEncs("cand")},
          |${Pq.qvCte},
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id, ${Pq.pqAdcSum} AS adc,
          |    ${Pq.duckIntDot(Pq.duckScaled("v.embedding"), "q.qs")}
          |      AS exact

@@ -96,23 +96,23 @@ object Round7Ops {
          |${KMeans.kkCte("base")},
          |${KMeans.oracleCtesSlice(KMeans.duckK, CITERS, 0, 0, "", "base")},
          |${Pq.pqChainsFrom("base")},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, embedding, cid FROM assign
+         |lists AS MATERIALIZED (SELECT vec_id, embedding, cid FROM assign
          |  WHERE rn = 1),
-         |listsb AS (SELECT * FROM lists WHERE vec_id % 10 < 8),
-         |listsn AS (SELECT * FROM lists WHERE vec_id % 10 >= 8),
+         |listsb AS MATERIALIZED (SELECT * FROM lists WHERE vec_id % 10 < 8),
+         |listsn AS MATERIALIZED (SELECT * FROM lists WHERE vec_id % 10 >= 8),
          |${Pq.pqCodeEncs("listsb", "_b")},
          |${Pq.pqCodeEncs("listsn", "_n")},
          |${Pq.pqCodeEncs("lists", "_a")},
          |${Pq.duckCodesCte("codesb", "listsb", "_b")},
          |${Pq.duckCodesCte("codesn", "listsn", "_n")},
          |${Pq.duckCodesCte("codesall", "lists", "_a")},
-         |codesinc AS (
+         |codesinc AS MATERIALIZED (
          |  SELECT * FROM codesb UNION ALL SELECT * FROM codesn),
          |${duckFpCte("fpi", "codesinc")},
          |${duckFpCte("fpa", "codesall")},
@@ -123,18 +123,18 @@ object Round7Ops {
          |  FROM embeddings WHERE vec_id = 0),
          |probes AS (SELECT cid FROM assign WHERE vec_id = 0
          |  AND rn <= $NPROBE),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT ci.* FROM codesinc ci JOIN probes p ON ci.cid = p.cid
          |  WHERE ci.vec_id <> 0),
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc,
          |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
          |      AS exact
          |  FROM cand v
          |  JOIN embeddings ev ON ev.vec_id = v.vec_id
          |  ${Pq.duckAdcJoins}, qv q),
-         |tope AS (
+         |tope AS MATERIALIZED (
          |  SELECT v.vec_id FROM embeddings v, qv q
          |  WHERE v.vec_id <> 0
          |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
@@ -224,17 +224,17 @@ object Round7Ops {
       "q226_batch_probe_curve",
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-         |qb AS (SELECT vec_id AS qid, embedding AS qe,
+         |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |qb AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
          |    ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id < $QN),
-         |prank AS (
+         |prank AS MATERIALIZED (
          |  SELECT q.qid, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY q.qid
          |      ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
@@ -243,16 +243,16 @@ object Round7Ops {
          |levels AS (
          |  SELECT DISTINCT LEAST(CAST(1 AS BIGINT) << g, k) AS nprobe
          |  FROM (SELECT unnest(generate_series(0, 30)) AS g), kk),
-         |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+         |sizes AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
          |  FROM lists GROUP BY cid),
-         |cellrank AS (
+         |cellrank AS MATERIALIZED (
          |  SELECT p.qid, p.rn, COALESCE(s.sz, 0) AS sz
          |  FROM prank p LEFT JOIN sizes s ON p.cid = s.cid),
          |own AS (
          |  SELECT p.rn AS ownrn FROM qb q
          |  JOIN lists l ON l.vec_id = q.qid
          |  JOIN prank p ON p.qid = q.qid AND p.cid = l.cid),
-         |tope AS (
+         |tope AS MATERIALIZED (
          |  SELECT qid, vec_id FROM (
          |    SELECT q.qid, v.vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.qid
@@ -260,7 +260,7 @@ object Round7Ops {
                   "q.qs")} DESC, v.vec_id ASC) AS rn
          |    FROM embeddings v, qb q WHERE v.vec_id <> q.qid)
          |  WHERE rn <= 10),
-         |toprn AS (
+         |toprn AS MATERIALIZED (
          |  SELECT t.qid, p.rn FROM tope t
          |  JOIN lists l ON t.vec_id = l.vec_id
          |  JOIN prank p ON p.qid = t.qid AND p.cid = l.cid),
@@ -358,20 +358,20 @@ object Round7Ops {
       s"""WITH ${KMeans.kkCte()},
          |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
          |${Pq.pqChains},
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
          |        c.cid ASC) AS rn
          |  FROM embeddings e, cl$CITERS c),
-         |lists AS (SELECT vec_id, embedding, cid FROM assign
+         |lists AS MATERIALIZED (SELECT vec_id, embedding, cid FROM assign
          |  WHERE rn = 1),
-         |surv AS (SELECT * FROM lists WHERE vec_id % 7 <> 3),
+         |surv AS MATERIALIZED (SELECT * FROM lists WHERE vec_id % 7 <> 3),
          |${Pq.pqCodeEncs("lists", "_a")},
          |${Pq.pqCodeEncs("surv", "_f")},
          |${Pq.duckCodesCte("codesall", "lists", "_a")},
          |${Pq.duckCodesCte("codesfresh", "surv", "_f")},
-         |codesv2 AS (SELECT * FROM codesall WHERE vec_id % 7 <> 3),
+         |codesv2 AS MATERIALIZED (SELECT * FROM codesall WHERE vec_id % 7 <> 3),
          |${duckFpCte("fpv", "codesv2")},
          |${duckFpCte("fpf", "codesfresh")},
          |dd AS (SELECT fv.nr - ff.nr AS rows_delta,
@@ -382,18 +382,18 @@ object Round7Ops {
          |  FROM embeddings WHERE vec_id = 0),
          |probes AS (SELECT cid FROM assign WHERE vec_id = 0
          |  AND rn <= $NPROBE),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT cv.* FROM codesv2 cv JOIN probes p ON cv.cid = p.cid
          |  WHERE cv.vec_id <> 0),
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc,
          |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
          |      AS exact
          |  FROM cand v
          |  JOIN embeddings ev ON ev.vec_id = v.vec_id
          |  ${Pq.duckAdcJoins}, qv q),
-         |tope AS (
+         |tope AS MATERIALIZED (
          |  SELECT v.vec_id FROM embeddings v, qv q
          |  WHERE v.vec_id <> 0 AND v.vec_id % 7 <> 3
          |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
