@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted vector-index ARTIFACT lifecycle (SURVEY.md §2.3 E7): the
   * one place that builds the three on-disk artifacts a served IVF-PQ
@@ -31,15 +32,58 @@ object VecIndex {
 
   private[ops] val CITERS = 2 // coarse Lloyd iterations (q74's geometry)
 
-  // (data dir, corpus tag) -> built artifact root. Plain map under the
-  // object lock: builds are rare, values are small strings, and the
-  // deterministic path makes a lost entry merely a re-build.
+  // (data dir, corpus tag) -> built-or-validated artifact root. Plain
+  // map under the object lock: builds are rare, values are small
+  // strings, and the deterministic path makes a lost entry merely a
+  // marker re-check.
   private val built =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** Builds this JVM actually ran (vs. marker-validated reuses) —
+    * observable so the cross-session-reuse spec can prove a second
+    * session served without rebuilding.
+    */
+  private[ops] var builds: Int = 0
+
+  /** Test hook: forget the in-JVM registry (simulates a new session —
+    * the on-disk artifacts and markers survive).
+    */
+  private[ops] def dropMemo(): Unit =
+    built.synchronized { built.clear() }
+
+  private def foldExpr(c: String): String =
+    s"aggregate(transform(filter(split(md5($c), ''), ch -> ch != ''), " +
+      "ch -> CAST(ascii(ch) AS BIGINT)), 0L, " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Cheap corpus identity: row count + an order-independent md5-fold
+    * of (vec_id | sum of scaled dims) — one map-and-sum scan, far below
+    * training cost, and any row added/removed/revalued moves it. This
+    * is what makes CROSS-SESSION artifact reuse safe: a marker match
+    * means the files were built from this exact corpus with this exact
+    * geometry.
+    */
+  private def corpusMarker(e: DataFrame, k: Int): String = {
+    val r = e.select(concat_ws("|", col("vec_id"),
+        expr(s"aggregate(${KMeans.scaleExpr("embedding")}, 0L, " +
+          "(a, b) -> a + b)")).as("rs"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        (sum(expr(foldExpr("rs"))) % 1000000007L).as("fp"))
+      .head()
+    s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"k":$k,""" +
+      s""""m":${Pq.M},"ksub":${Pq.K},"iters":${Pq.ITERS},""" +
+      s""""citers":$CITERS,"v":1}"""
+  }
+
   /** Artifact root for the corpus `e` drawn from `dir` (`tag`
-    * distinguishes sliced corpora, e.g. q225's base split). Builds the
-    * three artifacts at most once per JVM, then returns the path.
+    * distinguishes sliced corpora, e.g. q225's base split). The
+    * deployment lifecycle: a session first checks the on-disk marker —
+    * a match means a PREVIOUS session built these artifacts from the
+    * identical corpus + geometry, and this session serves from the
+    * files without rebuilding (the round-6 verdict's "second session
+    * reading a pre-existing index"). Only a missing/stale marker pays
+    * the build; the marker is written last, so a crashed half-build is
+    * never trusted.
     */
   private[ops] def artifacts(
       s: SparkSession, dir: String, tag: String, e: DataFrame): String =
@@ -48,13 +92,21 @@ object VecIndex {
         val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_vecidx_${Integer.toHexString(dir.hashCode)}_$tag")
           .toString
-        KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-          .write.mode("overwrite").parquet(s"$p/coarse")
-        Pq.trainPq(s, e).write.mode("overwrite").parquet(s"$p/pq")
-        Pq.pqEncode(
-            KMeans.assign(e, s.read.parquet(s"$p/coarse")),
-            s.read.parquet(s"$p/pq"))
-          .write.mode("overwrite").parquet(s"$p/codes")
+        val marker = java.nio.file.Paths.get(p, "_meta.json")
+        val expect = corpusMarker(e, KMeans.servingK(e))
+        val fresh = java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == expect
+        if (!fresh) {
+          KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+            .write.mode("overwrite").parquet(s"$p/coarse")
+          Pq.trainPq(s, e).write.mode("overwrite").parquet(s"$p/pq")
+          Pq.pqEncode(
+              KMeans.assign(e, s.read.parquet(s"$p/coarse")),
+              s.read.parquet(s"$p/pq"))
+            .write.mode("overwrite").parquet(s"$p/codes")
+          java.nio.file.Files.writeString(marker, expect)
+          builds += 1
+        }
         p
       })
     }

@@ -113,6 +113,29 @@ class Round7OpsSpec extends AnyFunSuite {
       "full probe must recover exact recall@10 for all 32 queries")
   }
 
+  test("VecIndex: a second session serves from the pre-existing " +
+    "artifacts without rebuilding; a stale marker forces a rebuild") {
+    assume(available, s"$dir absent — skipping")
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val idx1 = VecIndex.artifacts(spark, dir, "full", e)
+    val b0 = VecIndex.builds
+    // "new session": the in-JVM registry is gone, the files remain
+    VecIndex.dropMemo()
+    val idx2 = VecIndex.artifacts(spark, dir, "full", e)
+    assert(idx2 == idx1, "artifact path is not deterministic")
+    assert(VecIndex.builds == b0,
+      "second session rebuilt the index instead of serving from the " +
+        "pre-existing artifacts (marker check failed)")
+    // a stale/missing marker must NOT be trusted: the build re-runs
+    VecIndex.dropMemo()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx1, "_meta.json"))
+    VecIndex.artifacts(spark, dir, "full", e)
+    assert(VecIndex.builds == b0 + 1,
+      "missing marker did not force a rebuild — a crashed half-build " +
+        "would be trusted")
+  }
+
   test("q227: tombstoned docs appear nowhere (output or compacted " +
     "artifact); compaction matches the fresh encode exactly") {
     assume(available, s"$dir absent — skipping")
