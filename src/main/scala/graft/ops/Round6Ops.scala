@@ -797,7 +797,7 @@ object Round6Ops {
     * re-runnable alternative to createTempDirectory-per-invocation
     * (which accumulated O(corpus) parquet across bench sweeps).
     */
-  private def scratchDir(name: String): String = {
+  private[ops] def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -815,7 +815,7 @@ object Round6Ops {
     * directly — expose it through a scratch-dir symlink, as
     * StreamOps.eventsStream does for events).
     */
-  private def embStream(s: org.apache.spark.sql.SparkSession,
+  private[ops] def embStream(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val path = s"$dir/embeddings.parquet"
     val target = java.nio.file.Paths.get(path)

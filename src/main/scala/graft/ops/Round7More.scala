@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 batch 2: the persisted index meets the two remaining
+  * production serving shapes.
+  *
+  *  - q228 FILTERED ANN: vector search under a metadata predicate
+  *    ("nearest English documents") — the query every real retrieval
+  *    system actually runs. The serving path POST-FILTERS: candidates
+  *    come from the probed cells of the stored codes, then the
+  *    metadata predicate lands on that BOUNDED set via an id semi-join
+  *    (never a scan of the unfiltered corpus). Because filtering
+  *    thins candidates, the probe width adapts to the MEASURED
+  *    selectivity — nprobe_f = min(CK, ceil(NPROBE / sel)) in exact
+  *    integer math — so the expected surviving candidate count stays
+  *    what an unfiltered probe would return. The exact referee runs
+  *    over the eligible corpus only (the pre-filter strategy — correct
+  *    but O(eligible), which is why it referees rather than serves).
+  *  - q229 STREAMING index ingest: q225's daily-ingest operation fed
+  *    by a STREAM of new vectors — each micro-batch assigns + encodes
+  *    against the broadcast artifacts and lands as its own
+  *    batchId-keyed delta generation (mode overwrite: foreachBatch is
+  *    at-least-once, so a retried batch REPLACES its output — the
+  *    q198/q223 idempotency discipline). Encoding is pointwise and the
+  *    equality fingerprint is order-independent, so the result is
+  *    IDENTICAL however the source splits into micro-batches — q229
+  *    shares q225's oracle text verbatim, which makes streaming ==
+  *    batch a hash-checked theorem rather than a claim.
+  *
+  * Scale shape: q228 touches probed lists + an equi-join keyed on the
+  * candidate id against the predicate-pushed metadata scan; q229 per
+  * micro-batch touches ONLY that batch (broadcast codebooks, map-stage
+  * encode, one file write) — the existing corpus and codes are never
+  * read on the ingest path.
+  *
+  * Reference scope: the reference (PalNilsson/ask-duckdb) has no vector
+  * index; this family is part of the training-data-pipeline mandate.
+  */
+object Round7More {
+
+  private val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
+  private val NPROBE = 2 // unfiltered probe width
+  private val LANG = "en" // q228's metadata predicate
+
+  /** One micro-batch of q229's ingest: assign to the existing coarse
+    * cells, encode with the existing PQ codebooks, land as the batch's
+    * own delta generation. Idempotent under retry: batchId-keyed dir,
+    * mode overwrite. Round7MoreSpec replays a batch and asserts the
+    * delta fingerprint is unchanged.
+    */
+  private[ops] def ingestBatch(
+      coarse: DataFrame, cbRow: DataFrame, out: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty)
+      Pq.pqEncode(KMeans.assign(batch, coarse), cbRow)
+        .write.mode("overwrite").parquet(s"$out/b$batchId")
+
+  val queries: Seq[Q] = Seq(
+    // E7: METADATA-FILTERED vector search over the persisted index.
+    // Output: the filtered top-10 (ADC + exact + referee flag) plus the
+    // numbers that justify the plan — candidates before/after the
+    // metadata filter, the eligible-corpus size, and the
+    // selectivity-adapted probe width.
+    Q(
+      "q228_filtered_ann",
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
+         |${Pq.pqChains},
+         |assign AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl$CITERS c),
+         |lists AS MATERIALIZED (SELECT vec_id, embedding, cid FROM assign
+         |  WHERE rn = 1),
+         |${Pq.pqCodeEncs("lists", "_a")},
+         |${Pq.duckCodesCte("codesall", "lists", "_a")},
+         |elig AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$LANG'),
+         |npf AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM elig) AS n_eligible,
+         |  LEAST((SELECT k FROM kk),
+         |    ($NPROBE * (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+         |      + (SELECT CAST(COUNT(*) AS BIGINT) FROM elig) - 1)
+         |      // (SELECT CAST(COUNT(*) AS BIGINT) FROM elig))
+         |    AS nprobe_f),
+         |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT a.cid FROM assign a, npf
+         |  WHERE a.vec_id = 0 AND a.rn <= npf.nprobe_f),
+         |candpre AS MATERIALIZED (
+         |  SELECT ca.* FROM codesall ca JOIN probes p ON ca.cid = p.cid
+         |  WHERE ca.vec_id <> 0),
+         |ncp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_pre
+         |  FROM candpre),
+         |cand AS MATERIALIZED (
+         |  SELECT cp.* FROM candpre cp JOIN elig g ON cp.vec_id = g.vec_id),
+         |ncq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_post FROM cand),
+         |scored AS MATERIALIZED (
+         |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc,
+         |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
+         |      AS exact
+         |  FROM cand v
+         |  JOIN embeddings ev ON ev.vec_id = v.vec_id
+         |  ${Pq.duckAdcJoins}, qv q),
+         |tope AS MATERIALIZED (
+         |  SELECT v.vec_id FROM embeddings v
+         |  JOIN elig g ON g.vec_id = v.vec_id, qv q
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+                "q.qs")} DESC, v.vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.adc, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, c.n_cand_pre, c2.n_cand_post, n.n_eligible,
+         |  n.nprobe_f
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id, ncp c, ncq c2, npf n
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val d = Tables.table(s, dir, "documents")
+      val ck = KMeans.servingK(e)
+      val idx = VecIndex.artifacts(s, dir, "full", e)
+      val coarse = s.read.parquet(s"$idx/coarse")
+      val cbRow = s.read.parquet(s"$idx/pq")
+      val codes = s.read.parquet(s"$idx/codes")
+      // the eligible-id relation: the lang predicate pushes to the
+      // documents scan; the id projection prunes every other column
+      val elig = d.filter(col("lang") === LANG)
+        .select(col("doc_id").as("vec_id"))
+      // selectivity-adapted probe width, exact integer ceiling math so
+      // both engines derive the identical value
+      val stats = e.agg(count(lit(1)).cast("bigint").as("n_tot"))
+        .crossJoin(broadcast(
+          elig.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).cast("bigint").as("n_eligible"))))
+        .select(col("n_eligible"),
+          least(lit(ck.toLong),
+            expr(s"($NPROBE * n_tot + n_eligible - 1) div n_eligible"))
+            .as("nprobe_f"))
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wp))
+        .crossJoin(broadcast(stats))
+        .filter(col("rn") <= col("nprobe_f"))
+        .select(col("cid"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      // candidates from the stored codes of the probed cells, THEN the
+      // metadata filter on the bounded set (post-filter strategy)
+      val candPre = codes.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+      val cand = candPre.join(elig, Seq("vec_id"), "left_semi")
+      val ncPre = candPre
+        .agg(count(lit(1)).cast("bigint").as("n_cand_pre"))
+      val ncPost = cand
+        .agg(count(lit(1)).cast("bigint").as("n_cand_post"))
+      val scored = cand
+        .crossJoin(broadcast(cbRow))
+        .crossJoin(broadcast(q0))
+        .withColumn("adc", expr(Pq.adcFromCodes))
+        .select(col("vec_id"), col("adc"))
+      val top = scored.orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(10)
+      // the exact referee runs over the ELIGIBLE corpus only — the
+      // pre-filter strategy, kept as the measurement harness
+      val exactAll = e.join(elig, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+      val globalTop = exactAll
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val exactTop = exactAll
+        .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
+      top
+        .join(broadcast(exactTop), Seq("vec_id"))
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(ncPre))
+        .crossJoin(broadcast(ncPost))
+        .crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"),
+          col("n_cand_pre"), col("n_cand_post"), col("n_eligible"),
+          col("nprobe_f"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+    },
+
+    // E7×E12: STREAMING incremental index ingest — q225 fed by a
+    // stream. The oracle is q225's verbatim: identical ingested index,
+    // identical serve, whatever the micro-batch split.
+    Q(
+      "q229_stream_index_ingest",
+      Round7Ops.incIngestOracle) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 < 8)
+      val idx = VecIndex.artifacts(s, dir, "base", base)
+      val coarse = s.read.parquet(s"$idx/coarse")
+      val cbRow = s.read.parquet(s"$idx/pq")
+      // ---- the NEW-VECTOR STREAM, ingested micro-batch by
+      // micro-batch through the idempotent batchId-keyed sink ----
+      val newStream = Round6Ops.embStream(s, dir)
+        .filter(col("vec_id") % 10 >= 8)
+      val out = Round6Ops.scratchDir(
+        s"graft_streamingest_${Integer.toHexString(dir.hashCode)}")
+      val q = newStream.writeStream.outputMode("append")
+        .foreachBatch(ingestBatch(coarse, cbRow, out) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val baseCodes = s.read.parquet(s"$idx/codes")
+      val deltas = new java.io.File(out).listFiles()
+      val inc =
+        if (deltas == null || deltas.isEmpty) baseCodes
+        else baseCodes.unionByName(s.read.parquet(s"$out/b*"))
+      val newb = e.filter(col("vec_id") % 10 >= 8)
+      Round7Ops.ingestServe(e, newb, coarse, cbRow, inc)
+    }
+  )
+}

@@ -78,20 +78,13 @@ object Round7Ops {
        |  FROM (SELECT concat_ws('|', vec_id, cid, ${(0 until Pq.M)
          .map(m => s"c$m").mkString(", ")}) AS rs FROM $src))""".stripMargin
 
-  val queries: Seq[Q] = Seq(
-    // E7: INCREMENTAL INDEX INGEST — the daily operation of a 100 TB
-    // index: the corpus splits 80/20 into base (the index was trained
-    // and built on it) and a new batch; the new batch is assigned to
-    // the EXISTING coarse cells and encoded with the EXISTING PQ
-    // codebooks (broadcast artifacts, map stage — no retraining, no
-    // touch of the stored base codes), then appended as a delta
-    // generation. rows_delta/fp_delta prove the ingested index is
-    // row-identical to a full re-encode of the union corpus; serving
-    // runs against the ingested index and is refereed against the
-    // exact top-10 over the FULL union corpus.
-    Q(
-      "q225_incremental_index_ingest",
-      s"""WITH base AS (
+  /** The q225 oracle, shared verbatim with q229: the streaming ingest
+    * path must produce the IDENTICAL ingested index and serve the
+    * identical result (encoding is pointwise and the fingerprint is
+    * order-independent, so micro-batch splitting cannot show through).
+    */
+  private[ops] val incIngestOracle: String =
+    s"""WITH base AS (
          |  SELECT * FROM embeddings WHERE vec_id % 10 < 8),
          |${KMeans.kkCte("base")},
          |${KMeans.oracleCtesSlice(KMeans.duckK, CITERS, 0, 0, "", "base")},
@@ -145,7 +138,83 @@ object Round7Ops {
          |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
          |  LIMIT 10) s
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc c, nn n, dd d
-         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin
+
+  /** Referee + serve over an INGESTED index `inc` (base codes ∪ delta
+    * generations): fingerprint-compare against a full re-encode of the
+    * union corpus, then serve query 0 from the ingested codes with the
+    * exact-top-10 referee. Shared by q225 (batch ingest) and q229
+    * (streaming ingest) — both must produce the identical result.
+    */
+  private[ops] def ingestServe(
+      e: DataFrame, newb: DataFrame, coarse: DataFrame,
+      cbRow: DataFrame, inc: DataFrame): DataFrame = {
+    // ---- REFEREE: full re-encode of the union corpus (same
+    // codebooks) must be row-identical to the ingested index ----
+    val rebuild = Pq.pqEncode(KMeans.assign(e, coarse), cbRow)
+    val dd = fpOf(inc)
+      .select(col("nr").as("ni"), col("fp").as("fi"))
+      .crossJoin(broadcast(fpOf(rebuild)
+        .select(col("nr").as("nb"), col("fp").as("fb"))))
+      .select((col("ni") - col("nb")).as("rows_delta"),
+        (col("fi") - col("fb")).as("fp_delta"))
+    val nNew = newb.agg(count(lit(1)).cast("bigint").as("n_new"))
+    // ---- SERVE from the ingested index ----
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NPROBE)
+      .select(col("cid"))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+    val cand = inc.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= 0)
+    val scored = cand
+      .crossJoin(broadcast(cbRow))
+      .crossJoin(broadcast(q0))
+      .withColumn("adc", expr(Pq.adcFromCodes))
+      .select(col("vec_id"), col("adc"))
+    val top = scored.orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(10)
+    val exactAll = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(Pq.intDot(
+        KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+    val globalTop = exactAll
+      .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val exactTop = exactAll
+      .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
+    val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+    top
+      .join(broadcast(exactTop), Seq("vec_id"))
+      .join(broadcast(globalTop), Seq("vec_id"), "left")
+      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nNew))
+      .crossJoin(broadcast(dd))
+      .select(col("vec_id"), col("adc"), col("exact"),
+        coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"),
+        col("n_new"), col("rows_delta"), col("fp_delta"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+  }
+
+  val queries: Seq[Q] = Seq(
+    // E7: INCREMENTAL INDEX INGEST — the daily operation of a 100 TB
+    // index: the corpus splits 80/20 into base (the index was trained
+    // and built on it) and a new batch; the new batch is assigned to
+    // the EXISTING coarse cells and encoded with the EXISTING PQ
+    // codebooks (broadcast artifacts, map stage — no retraining, no
+    // touch of the stored base codes), then appended as a delta
+    // generation. rows_delta/fp_delta prove the ingested index is
+    // row-identical to a full re-encode of the union corpus; serving
+    // runs against the ingested index and is refereed against the
+    // exact top-10 over the FULL union corpus.
+    Q(
+      "q225_incremental_index_ingest",
+      incIngestOracle) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       val base = e.filter(col("vec_id") % 10 < 8)
       val newb = e.filter(col("vec_id") % 10 >= 8)
@@ -159,56 +228,7 @@ object Round7Ops {
         .write.mode("overwrite").parquet(s"$idx/codes_delta")
       val inc = s.read.parquet(s"$idx/codes")
         .unionByName(s.read.parquet(s"$idx/codes_delta"))
-      // ---- REFEREE: full re-encode of the union corpus (same
-      // codebooks) must be row-identical to the ingested index ----
-      val rebuild = Pq.pqEncode(KMeans.assign(e, coarse), cbRow)
-      val dd = fpOf(inc)
-        .select(col("nr").as("ni"), col("fp").as("fi"))
-        .crossJoin(broadcast(fpOf(rebuild)
-          .select(col("nr").as("nb"), col("fp").as("fb"))))
-        .select((col("ni") - col("nb")).as("rows_delta"),
-          (col("fi") - col("fb")).as("fp_delta"))
-      val nNew = newb.agg(count(lit(1)).cast("bigint").as("n_new"))
-      // ---- SERVE from the ingested index ----
-      val wp = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") === 0)
-        .crossJoin(broadcast(coarse))
-        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= NPROBE)
-        .select(col("cid"))
-      val q0 = e.filter(col("vec_id") === 0)
-        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      val cand = inc.join(broadcast(probes), "cid")
-        .filter(col("vec_id") =!= 0)
-      val scored = cand
-        .crossJoin(broadcast(cbRow))
-        .crossJoin(broadcast(q0))
-        .withColumn("adc", expr(Pq.adcFromCodes))
-        .select(col("vec_id"), col("adc"))
-      val top = scored.orderBy(col("adc").desc, col("vec_id").asc)
-        .limit(10)
-      val exactAll = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q0))
-        .select(col("vec_id"), expr(Pq.intDot(
-          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
-      val globalTop = exactAll
-        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"), lit(1).as("hit"))
-      val exactTop = exactAll
-        .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
-      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
-      top
-        .join(broadcast(exactTop), Seq("vec_id"))
-        .join(broadcast(globalTop), Seq("vec_id"), "left")
-        .crossJoin(broadcast(nc))
-        .crossJoin(broadcast(nNew))
-        .crossJoin(broadcast(dd))
-        .select(col("vec_id"), col("adc"), col("exact"),
-          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"),
-          col("n_new"), col("rows_delta"), col("fp_delta"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
+      ingestServe(e, newb, coarse, cbRow, inc)
     },
 
     // E7: the BATCH-AVERAGED probe operating curve — q222 generalized

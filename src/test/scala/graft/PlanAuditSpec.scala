@@ -129,7 +129,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // curve's per-query probe-rank + exact-referee windows must all
     // stay keyed (vec_id / qid), never a single-partition collapse
     "q225_incremental_index_ingest", "q226_batch_probe_curve",
-    "q227_index_delete_compact")
+    "q227_index_delete_compact",
+    // round-7 batch 2: the filtered-ANN probe window stays keyed on
+    // vec_id; the streaming-ingest serve path reuses q225's shapes
+    "q228_filtered_ann", "q229_stream_index_ingest")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -216,7 +219,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // batch curve's query batch + rank tables, and the compact gate's
       // tombstone-era artifact rows all ride broadcasts
       "q225_incremental_index_ingest", "q226_batch_probe_curve",
-      "q227_index_delete_compact")
+      "q227_index_delete_compact",
+      // round-7 batch 2: the probe list, codebooks, query row, and the
+      // count/selectivity rows all ride broadcasts; only the eligible-id
+      // semi-join and the codes join shuffle
+      "q228_filtered_ann", "q229_stream_index_ingest")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
