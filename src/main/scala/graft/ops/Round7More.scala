@@ -46,6 +46,78 @@ object Round7More {
   private val NPROBE = 2 // unfiltered probe width
   private val LANG = "en" // q228's metadata predicate
 
+  private val REFINE_C = 32 // q230's first-stage width (ADC top-C)
+  private val SRC_CAP = 2 // q231's per-source result cap
+
+  /** Shared oracle prefix for the query-0 serving gates (q230/q231):
+    * trains the coarse + PQ chains, encodes the corpus to stored
+    * codes, probes query 0's NPROBE cells, and scores the candidates
+    * with BOTH the ADC approximation and the exact integer dot.
+    * Exposes CTEs `cand`, `nc(n_cand)`, `scored(vec_id, adc, exact)`,
+    * and `tope` (the global exact top-10 referee).
+    */
+  private def serveSqlPrefix: String =
+    s"""${KMeans.kkCte()},
+       |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
+       |${Pq.pqChains},
+       |assign AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+       |        c.cid ASC) AS rn
+       |  FROM embeddings e, cl$CITERS c),
+       |lists AS MATERIALIZED (SELECT vec_id, embedding, cid FROM assign
+       |  WHERE rn = 1),
+       |${Pq.pqCodeEncs("lists", "_a")},
+       |${Pq.duckCodesCte("codesall", "lists", "_a")},
+       |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
+       |  FROM embeddings WHERE vec_id = 0),
+       |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+       |  AND rn <= $NPROBE),
+       |cand AS MATERIALIZED (
+       |  SELECT ca.* FROM codesall ca JOIN probes p ON ca.cid = p.cid
+       |  WHERE ca.vec_id <> 0),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+       |scored AS MATERIALIZED (
+       |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc,
+       |    ${Pq.duckIntDot(Pq.duckScaled("ev.embedding"), "q.qs")}
+       |      AS exact
+       |  FROM cand v
+       |  JOIN embeddings ev ON ev.vec_id = v.vec_id
+       |  ${Pq.duckAdcJoins}, qv q),
+       |tope AS MATERIALIZED (
+       |  SELECT v.vec_id FROM embeddings v, qv q
+       |  WHERE v.vec_id <> 0
+       |  ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+              "q.qs")} DESC, v.vec_id ASC LIMIT 10)""".stripMargin
+
+  /** Spark side of the same prefix: query-0 probes against the
+    * persisted artifacts, candidates from the stored codes, scored
+    * with the ADC approximation. Returns (cand, scored, q0).
+    */
+  private def serveCandidates(
+      e: DataFrame, coarse: DataFrame, cbRow: DataFrame,
+      codes: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NPROBE)
+      .select(col("cid"))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+    val cand = codes.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= 0)
+    val scored = cand
+      .crossJoin(broadcast(cbRow))
+      .crossJoin(broadcast(q0))
+      .withColumn("adc", expr(Pq.adcFromCodes))
+      .select(col("vec_id"), col("adc"))
+    (cand, scored, q0)
+  }
+
   /** One micro-batch of q229's ingest: assign to the existing coarse
     * cells, encode with the existing PQ codebooks, land as the batch's
     * own delta generation. Idempotent under retry: batchId-keyed dir,
@@ -225,6 +297,114 @@ object Round7More {
         else baseCodes.unionByName(s.read.parquet(s"$out/b*"))
       val newb = e.filter(col("vec_id") % 10 >= 8)
       Round7Ops.ingestServe(e, newb, coarse, cbRow, inc)
+    },
+
+    // E7: TWO-STAGE ADC + EXACT REFINE — the standard quantized-index
+    // serving pipeline: ADC ranks the probed candidates from stored
+    // M-byte codes alone, the top-C survivors are re-scored with their
+    // FULL vectors (a broadcast-of-C join back to the corpus — the only
+    // raw-vector reads on the serving path), and the final top-10 is
+    // exact-ordered. The gate measures what the refine stage buys:
+    // hits_adc (exact-top-10 members in the plain ADC top-10) vs
+    // hits_refined (in the refined top-10) — refine can only help,
+    // and the spec enforces hits_refined >= hits_adc.
+    Q(
+      "q230_adc_refine",
+      s"""WITH $serveSqlPrefix,
+         |topc AS MATERIALIZED (
+         |  SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT $REFINE_C),
+         |adc10 AS (SELECT vec_id FROM topc ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10),
+         |refined AS MATERIALIZED (
+         |  SELECT * FROM topc ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_adc
+         |  FROM adc10 a JOIN tope t ON a.vec_id = t.vec_id),
+         |hr AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_refined
+         |  FROM refined r JOIN tope t ON r.vec_id = t.vec_id)
+         |SELECT r.vec_id, r.adc, r.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, a.hits_adc, h.hits_refined, c.n_cand
+         |FROM refined r LEFT JOIN tope t ON r.vec_id = t.vec_id,
+         |  ha a, hr h, nc c
+         |ORDER BY r.exact DESC, r.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val idx = VecIndex.artifacts(s, dir, "full", e)
+      val coarse = s.read.parquet(s"$idx/coarse")
+      val cbRow = s.read.parquet(s"$idx/pq")
+      val codes = s.read.parquet(s"$idx/codes")
+      val (cand, scored, q0) = serveCandidates(e, coarse, cbRow, codes)
+      // stage 1: ADC top-C from stored codes alone
+      val topC = scored.orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(REFINE_C)
+      // stage 2: exact re-score of ONLY the C survivors — the C-row
+      // frame broadcasts into the corpus scan, so full vectors are
+      // read for C rows, never the candidate set
+      val refinedScores = e.join(broadcast(topC), Seq("vec_id"))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("adc"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+      val refined = refinedScores
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      // referee: the exact global top-10
+      val exactAll = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("ex"))
+      val globalTop = exactAll
+        .orderBy(col("ex").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val adc10 = topC.orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"))
+      val hitsAdc = adc10.join(broadcast(globalTop), Seq("vec_id"))
+        .agg(count(lit(1)).cast("bigint").as("hits_adc"))
+      val hitsRef = refined.select(col("vec_id"))
+        .join(broadcast(globalTop), Seq("vec_id"))
+        .agg(count(lit(1)).cast("bigint").as("hits_refined"))
+      val ncnt = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+      refined
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(hitsAdc))
+        .crossJoin(broadcast(hitsRef))
+        .crossJoin(broadcast(ncnt))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"),
+          col("hits_adc"), col("hits_refined"), col("n_cand"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    // E7: DIVERSIFIED results — the per-source result cap every
+    // retrieval frontend applies ("at most 2 hits per domain"). The
+    // cap is a window PARTITIONED BY source over the ADC-ranked probed
+    // candidates (bounded rows — the corpus is never ranked), then the
+    // global top-10 of the survivors. Source metadata joins on the
+    // candidate id, pruned to (doc_id, source) at the scan.
+    Q(
+      "q231_diversified_ann",
+      s"""WITH $serveSqlPrefix,
+         |wsrc AS MATERIALIZED (
+         |  SELECT s.vec_id, s.adc, d.source,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY s.adc DESC, s.vec_id ASC) AS src_rank
+         |  FROM scored s JOIN documents d ON d.doc_id = s.vec_id)
+         |SELECT vec_id, adc, source, CAST(src_rank AS BIGINT) AS src_rank
+         |FROM wsrc WHERE src_rank <= $SRC_CAP
+         |ORDER BY adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val d = Tables.table(s, dir, "documents")
+      val idx = VecIndex.artifacts(s, dir, "full", e)
+      val coarse = s.read.parquet(s"$idx/coarse")
+      val cbRow = s.read.parquet(s"$idx/pq")
+      val codes = s.read.parquet(s"$idx/codes")
+      val (_, scored, _) = serveCandidates(e, coarse, cbRow, codes)
+      val srcs = d.select(col("doc_id").as("vec_id"), col("source"))
+      val ws = Window.partitionBy(col("source"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      scored.join(srcs, Seq("vec_id"))
+        .withColumn("src_rank", row_number().over(ws).cast("bigint"))
+        .filter(col("src_rank") <= SRC_CAP)
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("adc"), col("source"), col("src_rank"))
     }
   )
 }

@@ -131,8 +131,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q225_incremental_index_ingest", "q226_batch_probe_curve",
     "q227_index_delete_compact",
     // round-7 batch 2: the filtered-ANN probe window stays keyed on
-    // vec_id; the streaming-ingest serve path reuses q225's shapes
-    "q228_filtered_ann", "q229_stream_index_ingest")
+    // vec_id; the streaming-ingest serve path reuses q225's shapes;
+    // q231's diversity cap windows PARTITIONED BY source
+    "q228_filtered_ann", "q229_stream_index_ingest",
+    "q230_adc_refine", "q231_diversified_ann")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -222,8 +224,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q227_index_delete_compact",
       // round-7 batch 2: the probe list, codebooks, query row, and the
       // count/selectivity rows all ride broadcasts; only the eligible-id
-      // semi-join and the codes join shuffle
-      "q228_filtered_ann", "q229_stream_index_ingest")
+      // semi-join and the codes join shuffle. q230's C-row refine set
+      // broadcasts back into the corpus scan
+      "q228_filtered_ann", "q229_stream_index_ingest",
+      "q230_adc_refine", "q231_diversified_ann")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -82,6 +82,55 @@ class Round7MoreSpec extends AnyFunSuite {
         "through the pointwise encode")
   }
 
+  test("q230: refine can only help — hits_refined >= hits_adc; the " +
+    "refined ordering is exactly the brute-force ordering of its ids") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q230_adc_refine")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.length == 10)
+    val (hitsAdc, hitsRef) = (out.head._4, out.head._5)
+    assert(hitsRef >= hitsAdc,
+      s"exact re-scoring LOWERED recall: adc=$hitsAdc refined=$hitsRef")
+    assert(out.count(_._3 == 1) == hitsRef,
+      "in_exact flags disagree with the hits_refined count")
+    // the exact column must equal an independent brute force, and the
+    // output must be ordered by it
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val scaled = "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)" +
+      " * 1000000 + 0.5) AS BIGINT))"
+    val q0 = e.filter(col("vec_id") === 0).select(expr(scaled).as("qs"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(
+        s"aggregate(zip_with($scaled, qs, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, ex, _, _, _, _) =>
+      assert(exact(id) == ex, s"vec $id: exact column != brute force")
+    }
+    assert(out.map(o => (-o._2, o._1)).toSeq ==
+      out.map(o => (-o._2, o._1)).sortBy(identity).toSeq,
+      "refined output is not exact-ordered")
+  }
+
+  test("q231: the per-source cap holds and forces diversity") {
+    assume(available, s"$dir absent — skipping")
+    val out = graft.SparkEntry.queries("q231_diversified_ann")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out.length == 10)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 2, s"source $src served ${rows.length} > cap")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"source $src ranks ${rows.map(_._3).toSeq} not contiguous from 1")
+    }
+    assert(out.map(_._2).distinct.length >= 5,
+      "10 results under a cap of 2 must span at least 5 sources")
+  }
+
   test("q229 sink is retry-idempotent: replaying an ingest micro-batch " +
     "leaves the delta generation unchanged") {
     assume(available, s"$dir absent — skipping")
