@@ -280,10 +280,17 @@ object Round7More {
       val idx = VecIndex.artifacts(s, dir, "base", base)
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      // ---- the NEW-VECTOR STREAM, ingested micro-batch by
-      // micro-batch through the idempotent batchId-keyed sink ----
-      val newStream = Round6Ops.embStream(s, dir)
-        .filter(col("vec_id") % 10 >= 8)
+      // ---- the NEW-VECTOR STREAM: the arriving batch lands as TWO
+      // source files read one per trigger, so the ingest genuinely
+      // spans multiple micro-batches (two delta generations whose
+      // union must still equal the full re-encode — encoding is
+      // pointwise, so the split cannot show through) ----
+      val newb0 = e.filter(col("vec_id") % 10 >= 8)
+      val src = Round6Ops.scratchDir(
+        s"graft_streamingest_src_${Integer.toHexString(dir.hashCode)}")
+      newb0.repartition(2).write.mode("overwrite").parquet(src)
+      val newStream = s.readStream.schema(newb0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
       val out = Round6Ops.scratchDir(
         s"graft_streamingest_${Integer.toHexString(dir.hashCode)}")
       val q = newStream.writeStream.outputMode("append")

@@ -71,7 +71,8 @@ class Round7MoreSpec extends AnyFunSuite {
   }
 
   test("q229: the streaming ingest serves the identical result to the " +
-    "batch ingest (q225), row for row") {
+    "batch ingest (q225), row for row, and really spans multiple " +
+    "micro-batches") {
     assume(available, s"$dir absent — skipping")
     val stream = graft.SparkEntry.queries("q229_stream_index_ingest")(
       spark, dir).collect().toSeq
@@ -80,6 +81,17 @@ class Round7MoreSpec extends AnyFunSuite {
     assert(stream == batch,
       "streaming and batch ingest diverged — micro-batch split showed " +
         "through the pointwise encode")
+    // maxFilesPerTrigger=1 over a 2-file source must produce at least
+    // two batchId-keyed delta generations — the multi-batch path is
+    // what the gate exists to exercise
+    val out = new java.io.File(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_streamingest_${Integer.toHexString(dir.hashCode)}").toString)
+    val gens = Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    assert(gens.length >= 2,
+      s"ingest ran as ${gens.length} micro-batch(es) — the multi-batch " +
+        "split is not being exercised")
   }
 
   test("q230: refine can only help — hits_refined >= hits_adc; the " +
