@@ -84,12 +84,12 @@ object Round5Final {
     * projection commutes with any partitioning. Narrower projections
     * are prefixes of wider ones (same LCG), like the q201 signatures.
     */
-  private def projSpark(pd: Int): String =
+  private[ops] def projSpark(pd: Int): String =
     s"transform(sequence(0, ${pd - 1}), j -> " +
       s"aggregate(sequence(0, ${DIN - 1}), CAST(0 AS BIGINT), " +
       s"(acc, i) -> acc + ${sgn("div")} * element_at(iv, i + 1)))"
 
-  private def projDuck(pd: Int): String =
+  private[ops] def projDuck(pd: Int): String =
     s"list_transform(range($pd), j -> " +
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range($DIN), i -> ${sgn("//")} * iv[i + 1])), " +

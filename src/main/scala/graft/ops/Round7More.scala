@@ -48,6 +48,8 @@ object Round7More {
 
   private val REFINE_C = 32 // q230's first-stage width (ADC top-C)
   private val SRC_CAP = 2 // q231's per-source result cap
+  private val SIGBITS = 64 // q232: sign bits per signature (2 words)
+  private val HAM_M = 50 // q232: Hamming shortlist width before rerank
 
   /** Shared oracle prefix for the query-0 serving gates (q230/q231):
     * trains the coarse + PQ chains, encodes the corpus to stored
@@ -412,6 +414,123 @@ object Round7More {
         .filter(col("src_rank") <= SRC_CAP)
         .orderBy(col("adc").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("adc"), col("source"), col("src_rank"))
+    },
+
+    // E7: BINARY (sign) quantization + Hamming shortlist — the
+    // cheapest retrieval tier: each vector compresses to 64 SIGN bits
+    // of its q211 signed-projection (16 bytes stand in for 256 bytes
+    // of floats), the whole corpus is Hamming-scanned on two BIGINT
+    // words (xor + bit_count — pure codegen integer ops), and the
+    // top-M shortlist reranks exactly via a broadcast-of-M join back
+    // to the corpus (the q230 refine discipline). Recall of the exact
+    // top-10 inside the reranked 10 is reported in-band. All-integer
+    // end to end: sign bits, Hamming counts, and the exact rerank are
+    // bit-identical in both engines under any partitioning.
+    Q(
+      "q232_binary_hamming",
+      s"""WITH ivc AS (
+         |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS iv
+         |  FROM embeddings),
+         |wp AS MATERIALIZED (
+         |  SELECT vec_id, iv, ${Round5Final.projDuck(SIGBITS)} AS p
+         |  FROM ivc t),
+         |sg AS MATERIALIZED (
+         |  SELECT vec_id, iv, ${packDuck(0)} AS sig0, ${packDuck(32)}
+         |    AS sig1 FROM wp),
+         |qv AS (SELECT iv AS qiv, sig0 AS qs0, sig1 AS qs1 FROM sg
+         |  WHERE vec_id = 0),
+         |hm AS MATERIALIZED (
+         |  SELECT s.vec_id, CAST(bit_count(xor(s.sig0, q.qs0)) +
+         |    bit_count(xor(s.sig1, q.qs1)) AS BIGINT) AS hamming
+         |  FROM sg s, qv q WHERE s.vec_id <> 0),
+         |short AS MATERIALIZED (
+         |  SELECT * FROM hm ORDER BY hamming ASC, vec_id ASC
+         |  LIMIT $HAM_M),
+         |rr AS MATERIALIZED (
+         |  SELECT sh.vec_id, sh.hamming,
+         |    ${Pq.duckIntDot("c.iv", "q.qiv")} AS exact
+         |  FROM short sh JOIN sg c ON c.vec_id = sh.vec_id, qv q),
+         |tp AS (SELECT * FROM rr ORDER BY exact DESC, vec_id ASC
+         |  LIMIT 10),
+         |tope AS MATERIALIZED (
+         |  SELECT s.vec_id FROM sg s, qv q WHERE s.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot("s.iv", "q.qiv")} DESC, s.vec_id ASC
+         |  LIMIT 10),
+         |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM tp t JOIN tope e ON t.vec_id = e.vec_id)
+         |SELECT t.vec_id, t.hamming, t.exact,
+         |  CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, h.n_hit
+         |FROM tp t LEFT JOIN tope e ON t.vec_id = e.vec_id, hh h
+         |ORDER BY t.exact DESC, t.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      // the 64×64 ±1 sign matrix evaluates its LCG ONCE, on a one-row
+      // frame that broadcasts — per corpus row the projection is then
+      // 64 plain integer dots, and the signature table checkpoints so
+      // the scan/rerank/referee consumers share one computation
+      val signRow = s.range(1).select(expr(
+        s"transform(sequence(0, ${SIGBITS - 1}), j -> " +
+          "transform(sequence(0, 63), i -> " +
+          "CAST(1 - 2 * ((((CAST(j * 64 + i AS BIGINT) * 1103515245 " +
+          "+ 12345) % 2147483648) div 65536) % 2) AS BIGINT)))")
+        .as("sm"))
+      val sigPlan = e
+        .select(col("vec_id"), expr(KMeans.scaleExpr("embedding")).as("iv"))
+        .crossJoin(broadcast(signRow))
+        .withColumn("p", expr(
+          s"transform(sm, sj -> ${Pq.intDot("sj", "iv")})"))
+        .withColumn("sig0", expr(packSpark(0)))
+        .withColumn("sig1", expr(packSpark(32)))
+        .select(col("vec_id"), col("iv"), col("sig0"), col("sig1"))
+      val cp = sigPlan.localCheckpoint(true)
+      val sig = s.createDataFrame(cp.rdd, cp.schema)
+      val q0 = sig.filter(col("vec_id") === 0)
+        .select(col("iv").as("qiv"), col("sig0").as("qs0"),
+          col("sig1").as("qs1"))
+      // the Hamming scan touches ONLY the two signature words
+      val shortlist = sig.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(
+          "CAST(bit_count(sig0 ^ qs0) + bit_count(sig1 ^ qs1) AS BIGINT)")
+          .as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(HAM_M)
+      // exact rerank of the M survivors: broadcast-of-M join back to
+      // the corpus, full vectors read for M rows only
+      val reranked = sig.join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("hamming"),
+          expr(Pq.intDot("iv", "qiv")).as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      val exactAll = sig.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot("iv", "qiv")).as("ex"))
+      val globalTop = exactAll
+        .orderBy(col("ex").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nHit = reranked.select(col("vec_id"))
+        .join(broadcast(globalTop), Seq("vec_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_hit"))
+      reranked
+        .join(broadcast(globalTop), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nHit))
+        .select(col("vec_id"), col("hamming"), col("exact"),
+          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_hit"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
     }
   )
+
+  /** Pack 32 sign bits (projection dims off..off+31) into one BIGINT:
+    * bit j set iff p[off+j] > 0 (ties at exactly 0 count as negative —
+    * integer projections make the tie deterministic in both engines).
+    */
+  private def packSpark(off: Int): String =
+    s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(element_at(p, j + ${off + 1}) > 0, " +
+      "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+
+  private def packDuck(off: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(32), j -> CASE WHEN p[j + ${off + 1}] > 0 " +
+      "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
+      "(a, b) -> a + b)"
 }

@@ -134,7 +134,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // vec_id; the streaming-ingest serve path reuses q225's shapes;
     // q231's diversity cap windows PARTITIONED BY source
     "q228_filtered_ann", "q229_stream_index_ingest",
-    "q230_adc_refine", "q231_diversified_ann")
+    "q230_adc_refine", "q231_diversified_ann", "q232_binary_hamming")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -227,7 +227,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // semi-join and the codes join shuffle. q230's C-row refine set
       // broadcasts back into the corpus scan
       "q228_filtered_ann", "q229_stream_index_ingest",
-      "q230_adc_refine", "q231_diversified_ann")
+      "q230_adc_refine", "q231_diversified_ann",
+      // q232: the query signature row and the M-row Hamming shortlist
+      // both broadcast; the Hamming scan itself is a map stage
+      "q232_binary_hamming")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -143,6 +143,44 @@ class Round7MoreSpec extends AnyFunSuite {
       "10 results under a cap of 2 must span at least 5 sources")
   }
 
+  test("q232: the Hamming tier carries signal (non-zero reranked " +
+    "recall), flags agree with the referee, exact matches brute force") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q232_binary_hamming")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out.length == 10)
+    val nHit = out.head._5
+    assert(out.forall(_._5 == nHit))
+    assert(nHit >= 1,
+      "64-bit sign signatures carried no signal — the reranked top-10 " +
+        "missed the entire exact top-10")
+    assert(out.count(_._4 == 1).toLong == nHit,
+      "in_exact flags disagree with the n_hit count")
+    assert(out.forall(o => o._2 >= 0 && o._2 <= 64),
+      "hamming distance outside [0, 64]")
+    // exact column against an independent brute force
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val scaled = "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)" +
+      " * 1000000 + 0.5) AS BIGINT))"
+    val q0 = e.filter(col("vec_id") === 0).select(expr(scaled).as("qs"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(
+        s"aggregate(zip_with($scaled, qs, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val topTen = exact.toSeq.sortBy { case (id, dd) => (-dd, id) }
+      .take(10).map(_._1).toSet
+    out.foreach { case (id, _, ex, inExact, _) =>
+      assert(exact(id) == ex, s"vec $id: exact column != brute force")
+      assert((inExact == 1) == topTen.contains(id),
+        s"vec $id: in_exact flag disagrees with brute-force referee")
+    }
+  }
+
   test("q229 sink is retry-idempotent: replaying an ingest micro-batch " +
     "leaves the delta generation unchanged") {
     assume(available, s"$dir absent — skipping")
