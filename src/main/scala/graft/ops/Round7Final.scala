@@ -1,0 +1,349 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 batch 3: graph-based ANN — the navigable-small-world family
+  * (the technique class behind HNSW layer 0), completing the serving
+  * tier set next to IVF (q74), IVF-PQ (q207/q220), SQ8 (q221),
+  * matryoshka (q219) and binary-Hamming (q232).
+  *
+  *  - q233 GRAPH BEAM SEARCH: a degree-bounded kNN graph is built
+  *    offline — each vector keeps its DEG best neighbors by exact
+  *    fixed-point dot among candidates sharing any of its SOFT
+  *    soft-assigned coarse cells (multi-assignment blocking, so edges
+  *    CROSS cell boundaries and search can escape the probed region —
+  *    the property that distinguishes graph ANN from plain IVF).
+  *    Serving is an unrolled HOPS-step beam search: start from the
+  *    lowest-id member of each of the query's NPROBE nearest cells,
+  *    expand the current beam's neighbors, keep the BEAM best visited
+  *    so far, repeat; the final answer is the exact top-10 of the
+  *    visited set, refereed against the full-scan exact top-10.
+  *
+  * Scale shape: the graph is a write-time artifact of n·DEG (src, dst)
+  * rows partitioned by src — built once per corpus from cell-bounded
+  * candidate pairs (never all-pairs: the soft-assignment bounds the
+  * block to SOFT·occupancy per cell, the same bound every dedup gate
+  * rides). A query's serving path touches O(NPROBE + HOPS·BEAM·DEG)
+  * graph rows via broadcast-of-frontier equi-joins on src — constant in
+  * the corpus size, strictly less I/O than IVF's probed-cell scans once
+  * cells outgrow BEAM·DEG. The one full scan is the exact-recall
+  * referee, which exists to measure the curve, not to serve.
+  *
+  * Reference scope: the reference (PalNilsson/ask-duckdb) has no vector
+  * index; this family is part of the training-data-pipeline mandate.
+  */
+object Round7Final {
+
+  private val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
+  private val SOFT = 2 // soft-assigned cells per vector (graph blocking)
+  private val DEG = 6 // kNN-graph out-degree
+  private val BEAM = 4 // beam width per hop
+  private val HOPS = 3 // unrolled search depth
+  private val NPROBE = 2 // entry cells for the query
+  private val BEAMS = Seq(2, 4, 8) // q234's operating-curve widths
+
+  private val scaledD =
+    "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
+      "* 1000000 + 0.5) AS DOUBLE))"
+
+  // (data dir) -> on-disk artifact root: the kNN graph is a PERSISTED
+  // index artifact (the VecIndex discipline — parquet files + corpus
+  // marker, NOT in-JVM checkpoint blocks, which Bench's inter-query
+  // cache hygiene would evict). First execution pays the build; every
+  // later execution — and a second session over the same corpus —
+  // serves from the files.
+  private val builtGraph =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Cheap order-independent corpus identity + graph geometry: any
+    * row added/removed/revalued moves it, so a marker match means the
+    * on-disk graph was built from this exact corpus with these exact
+    * knobs.
+    */
+  private def marker(e: DataFrame): String = {
+    val r = e.select(col("vec_id"),
+        expr("aggregate(transform(embedding, v -> CAST(FLOOR(CAST(v " +
+          "AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), 0L, " +
+          "(a, b) -> a + b)").as("sv"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        (sum(col("sv") * (col("vec_id") % 97L + 1L)) % 1000000007L)
+          .as("fp"))
+      .head()
+    s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"soft":$SOFT,""" +
+      s""""deg":$DEG,"citers":$CITERS,"v":1}"""
+  }
+
+  /** The kNN-graph artifacts for the corpus at `dir`: `ivc` (the
+    * fixed-point vector table, a map-only scan), `edges` (the
+    * degree-capped graph, n·DEG rows, read from parquet) and `hard`
+    * (every vector's rank-0 cell, read from parquet).
+    *
+    * Build (only on a missing/stale marker): soft assignment ranks the
+    * broadcast codebook inside an array (map-only); candidate pairs
+    * share a soft cell (bounded blocks, never all-pairs); dedup +
+    * top-DEG selection are fused into ONE shuffle keyed on src via a
+    * sorted collect_set slice — the same edges the oracle's DISTINCT +
+    * ROW_NUMBER chain yields. Dots run through the codegen'd array_dot
+    * kernel on DOUBLE-typed fixed-point integers: |value| <= ~6e5, so
+    * a 64-dim dot is <= ~2e13 — far inside double's 2^53 exact-integer
+    * range, and CAST(... AS BIGINT) recovers the same integer the
+    * oracle computes in BIGINT.
+    */
+  private def graphArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.ArrayDot.register(s)
+    val e = Tables.table(s, dir, "embeddings")
+    val path = builtGraph.synchronized {
+      builtGraph.getOrElseUpdate(dir, {
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_knngraph_${Integer.toHexString(dir.hashCode)}").toString
+        val mk = java.nio.file.Paths.get(p, "_meta.json")
+        val expect = marker(e)
+        val fresh = java.nio.file.Files.exists(mk) &&
+          java.nio.file.Files.readString(mk) == expect
+        if (!fresh) {
+          val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+          // the centroid ranking dot is float×double — the identical
+          // IEEE ascending fold as KMeans.dotFold / the oracle duckDot
+          val centsRow = cb
+            .agg(expr("array_sort(collect_list(struct(cid, " +
+              "transform(cs, v -> CAST(v AS DOUBLE)) AS csd)))")
+              .as("cents"))
+          val soft = e.crossJoin(broadcast(centsRow))
+            .select(col("vec_id"), expr(scaledD).as("ivd"),
+              posexplode(expr(
+                "transform(slice(array_sort(transform(cents, c -> " +
+                  "struct(-array_dot(embedding, c.csd) AS nd, " +
+                  s"c.cid AS cid))), 1, $SOFT), r -> r.cid)"))
+                .as(Seq("crank", "acell")))
+          val ew = soft.as("a")
+            .join(soft.as("b"), col("a.acell") === col("b.acell"))
+            .filter(col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+              expr("CAST(array_dot(a.ivd, b.ivd) AS BIGINT)").as("w"))
+          ew.groupBy(col("src"))
+            .agg(expr(s"slice(array_sort(collect_set(" +
+              s"struct(-w AS nw, dst))), 1, $DEG)").as("top"))
+            .select(col("src"),
+              explode(expr("transform(top, t -> t.dst)")).as("dst"))
+            .write.mode("overwrite").parquet(s"$p/edges")
+          // crank 0 IS the hard assignment — persisted for the
+          // entry-point lookup, no serve-time corpus-wide assign pass
+          soft.filter(col("crank") === 0)
+            .select(col("vec_id"), col("acell"))
+            .write.mode("overwrite").parquet(s"$p/hard")
+          java.nio.file.Files.writeString(mk, expect)
+        }
+        p
+      })
+    }
+    (e.select(col("vec_id"), expr(scaledD).as("ivd")),
+      s.read.parquet(s"$path/edges"), s.read.parquet(s"$path/hard"))
+  }
+
+  /** Runs the unrolled beam search for query-0 over the shared graph
+    * artifacts and returns the visited set (checkpoint-pinned, bounded
+    * by NPROBE + hops·beam·DEG rows).
+    */
+  private def beamVisited(
+      s: SparkSession, dir: String, beam: Int, hops: Int): DataFrame = {
+    val (ivc, edges, hard) = graphArtifacts(s, dir)
+    val e = Tables.table(s, dir, "embeddings")
+    val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      s.createDataFrame(cp.rdd, cp.schema)
+    }
+    // the query vector is one bounded row — fetched once and inlined
+    // as a literal, so the per-hop scoring plans carry no
+    // broadcast-build job for it
+    val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+    val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NPROBE).select(col("cid"))
+    val entries = hard
+      .join(broadcast(probes), col("acell") === col("cid"))
+      .filter(col("vec_id") =!= 0)
+      .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).distinct()
+    def topB(v: DataFrame): DataFrame =
+      ivc.join(broadcast(v), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+        .limit(beam).select(col("vec_id"))
+    // each hop's visited set is ≤ NPROBE + hop·beam·DEG rows;
+    // checkpointing it keeps every later consumer (next hop's beam,
+    // the final scoring, n_visited) from re-executing the whole
+    // union-of-hops lineage inside its broadcast subplan
+    var visited = pin(entries)
+    for (_ <- 1 to hops) {
+      val nbrs = edges
+        .join(broadcast(topB(visited).withColumnRenamed("vec_id", "src")),
+          Seq("src"))
+        .select(col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= 0)
+      visited = pin(visited.union(nbrs).distinct())
+    }
+    visited
+  }
+
+  /** Shared oracle prefix: trains the coarse codebook, builds the
+    * degree-capped kNN graph from soft-cell-blocked pairs, and exposes
+    * `ivc` (fixed-point vectors), `edges`, `qv` (query-0 vector),
+    * `v0` (entry points) and `tope` (the full-scan exact top-10
+    * referee).
+    */
+  private def graphPrefixSql: String =
+    s"""${KMeans.kkCte()},
+       |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
+       |ivc AS MATERIALIZED (
+       |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS iv
+       |  FROM embeddings),
+       |assign AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+       |        c.cid ASC) AS rn
+       |  FROM embeddings e, cl$CITERS c),
+       |soft AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, i.iv FROM assign a
+       |  JOIN ivc i USING (vec_id) WHERE a.rn <= $SOFT),
+       |ew AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+       |  FROM soft a JOIN soft b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rn FROM ew)
+       |  WHERE rn <= $DEG),
+       |qv AS (SELECT iv AS qiv FROM ivc WHERE vec_id = 0),
+       |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+       |  AND rn <= $NPROBE),
+       |hard AS MATERIALIZED (SELECT vec_id, cid FROM assign
+       |  WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+       |  SELECT MIN(h.vec_id) AS vec_id FROM hard h
+       |  JOIN probes p ON h.cid = p.cid WHERE h.vec_id <> 0
+       |  GROUP BY h.cid)),
+       |tope AS MATERIALIZED (
+       |  SELECT vec_id FROM ivc, qv q WHERE vec_id <> 0
+       |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
+       |  LIMIT 10)""".stripMargin
+
+  /** The unrolled beam-search hop chain: `f<i><tag>` is hop i's beam
+    * (top-`beam` of the visited set), `v<i+1><tag>` the expanded
+    * visited set. Hop 0 starts from the shared `v0`.
+    */
+  private def hopChainSql(beam: Int, tag: String): String =
+    (1 to HOPS).map { i =>
+      val p = i - 1
+      val prev = if (p == 0) "v0" else s"v$p$tag"
+      s"""f$p$tag AS (SELECT vec_id FROM $prev JOIN ivc USING (vec_id),
+         |  qv q ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC,
+         |  vec_id ASC LIMIT $beam),
+         |v$i$tag AS MATERIALIZED (
+         |  SELECT vec_id FROM $prev
+         |  UNION
+         |  SELECT e.dst AS vec_id FROM f$p$tag f
+         |  JOIN edges e ON e.src = f.vec_id WHERE e.dst <> 0)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q233_graph_beam_search",
+      s"""WITH $graphPrefixSql,
+         |${hopChainSql(BEAM, "")},
+         |scored AS MATERIALIZED (
+         |  SELECT vec_id, ${Pq.duckIntDot("iv", "q.qiv")} AS exact
+         |  FROM v$HOPS JOIN ivc USING (vec_id), qv q),
+         |tp AS (SELECT * FROM scored
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_visited
+         |  FROM v$HOPS),
+         |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM tp t JOIN tope e ON t.vec_id = e.vec_id)
+         |SELECT t.vec_id, t.exact,
+         |  CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, n.n_visited, h.n_hit
+         |FROM tp t LEFT JOIN tope e ON t.vec_id = e.vec_id, nv n, hh h
+         |ORDER BY t.exact DESC, t.vec_id ASC""".stripMargin) { (s, dir) =>
+      val (ivc, _, _) = graphArtifacts(s, dir)
+      val visited = beamVisited(s, dir, BEAM, HOPS)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val top = ivc.join(broadcast(visited), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      val nVisited = visited
+        .agg(count(lit(1)).cast("bigint").as("n_visited"))
+      val tope = ivc.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
+        .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nHit = top.select(col("vec_id"))
+        .join(broadcast(tope), Seq("vec_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_hit"))
+      top.join(broadcast(tope), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nVisited)).crossJoin(broadcast(nHit))
+        .select(col("vec_id"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          col("n_visited"), col("n_hit"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    Q(
+      "q234_beam_width_curve",
+      s"""WITH $graphPrefixSql,
+         |${BEAMS.map(b => hopChainSql(b, s"_b$b")).mkString(",\n")},
+         |${BEAMS.map { b =>
+             s"""st$b AS (SELECT CAST($b AS INT) AS beam,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v${HOPS}_b$b)
+                |    AS n_visited,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                |     SELECT vec_id FROM v${HOPS}_b$b JOIN ivc
+                |       USING (vec_id), qv q
+                |     ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC,
+                |       vec_id ASC LIMIT 10) t
+                |   JOIN tope e ON t.vec_id = e.vec_id) AS n_hit)"""
+               .stripMargin
+           }.mkString(",\n")}
+         |${BEAMS.map(b => s"SELECT * FROM st$b").mkString(" UNION ALL ")}
+         |ORDER BY beam ASC""".stripMargin) { (s, dir) =>
+      // the operating curve that tunes the beam width (the q222/q226
+      // discipline applied to graph search): every width serves from
+      // the SAME shared graph artifacts, so the sweep measures the
+      // knob, not rebuilds
+      val (ivc, _, _) = graphArtifacts(s, dir)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val tope = ivc.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
+        .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      BEAMS.map { b =>
+        val visited = beamVisited(s, dir, b, HOPS)
+        val top = ivc.join(broadcast(visited), Seq("vec_id"))
+          .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+          .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        val nVisited = visited
+          .agg(count(lit(1)).cast("bigint").as("n_visited"))
+        val nHit = top.select(col("vec_id"))
+          .join(broadcast(tope), Seq("vec_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+        nVisited.crossJoin(broadcast(nHit))
+          .select(lit(b).cast("int").as("beam"),
+            col("n_visited"), col("n_hit"))
+      }.reduce(_ union _).orderBy(col("beam").asc)
+    }
+  )
+}

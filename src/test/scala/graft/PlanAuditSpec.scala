@@ -134,7 +134,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // vec_id; the streaming-ingest serve path reuses q225's shapes;
     // q231's diversity cap windows PARTITIONED BY source
     "q228_filtered_ann", "q229_stream_index_ingest",
-    "q230_adc_refine", "q231_diversified_ann", "q232_binary_hamming")
+    "q230_adc_refine", "q231_diversified_ann", "q232_binary_hamming",
+    // round-7 batch 3: the kNN-graph build's top-DEG window must stay
+    // PARTITIONED BY src; every beam top-k is an orderBy+limit
+    // (TakeOrderedAndProject), never a global sort; q234 sweeps beam
+    // widths over the same shared artifacts
+    "q233_graph_beam_search", "q234_beam_width_curve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -230,7 +235,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q230_adc_refine", "q231_diversified_ann",
       // q232: the query signature row and the M-row Hamming shortlist
       // both broadcast; the Hamming scan itself is a map stage
-      "q232_binary_hamming")
+      "q232_binary_hamming",
+      // q233: the codebook, per-hop frontiers, query row, and referee
+      // top-10 all ride broadcasts; only the graph build shuffles.
+      // q234 reuses the same serving shapes at every beam width
+      "q233_graph_beam_search", "q234_beam_width_curve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

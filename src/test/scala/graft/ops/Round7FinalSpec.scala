@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 batch-3 invariants beyond the DuckDB hash compare: the graph
+  * beam search must visit a corpus-size-independent number of vectors
+  * (the property that makes graph ANN a serving tier), and its referee
+  * columns must agree with an independently computed brute force.
+  */
+class Round7FinalSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def available: Boolean =
+    new java.io.File(dir, "documents.parquet").exists()
+
+  test("q233: bounded visited set, descending exact order, and referee " +
+    "columns that agree with an independent brute force") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q233_graph_beam_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 10, "beam search must return a full top-10")
+    // visited is bounded by entries + HOPS * BEAM * DEG regardless of
+    // corpus size — the serving-cost invariant
+    val bound = 2 + 3 * 4 * 6
+    rows.foreach { case (_, _, _, nVisited, _) =>
+      assert(nVisited <= bound, s"visited $nVisited exceeds bound $bound")
+    }
+    // exact scores strictly ordered (desc, then id asc) and ids distinct
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // referee agreement: in_exact flags exactly the brute-force top-10
+    // members, and n_hit is their count
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val scaled = "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)" +
+      " * 1000000 + 0.5) AS BIGINT))"
+    val q0 = e.filter(col("vec_id") === 0).select(expr(scaled).as("qs"))
+    val exactTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(" + scaled + ", qs, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, v) -> a + v)").as("ex"))
+      .orderBy(col("ex").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, _, inExact, _, _) =>
+      assert((inExact == 1) == exactTop.contains(id),
+        s"in_exact flag wrong for vec $id")
+    }
+    val nHit = rows.head._5
+    assert(rows.forall(_._5 == nHit), "n_hit must be constant")
+    assert(nHit == rows.count(_._3 == 1).toLong,
+      "n_hit must equal the number of flagged rows")
+    assert(nHit >= 2, "beam search must find at least 2 of the exact " +
+      "top-10 on this corpus (deterministic: measured 3)")
+  }
+
+  test("q234: operating curve is monotone in beam width and every " +
+    "visited set respects the serving-cost bound") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry.queries("q234_beam_width_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8),
+      "curve must carry exactly the configured beam widths, ascending")
+    rows.foreach { case (beam, nVisited, nHit) =>
+      // entries (<= NPROBE) + HOPS * beam * DEG new vectors per hop
+      assert(nVisited <= 2 + 3 * beam * 6,
+        s"beam=$beam visited $nVisited exceeds its bound")
+      assert(nHit >= 0 && nHit <= 10)
+    }
+    // widening the beam never shrinks coverage or recall — the property
+    // that makes the curve a tuning signal (deterministic on this
+    // corpus: visited 16/33/51, hits 2/3/4)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    assert(rows.last._3 >= 4, "beam=8 must recover at least 4 of the " +
+      "exact top-10 (deterministic: measured 4)")
+  }
+}
