@@ -76,21 +76,57 @@ object Round7Final {
       s""""deg":$DEG,"citers":$CITERS,"v":1}"""
   }
 
+  /** The broadcastable one-row centroid array with DOUBLE-cast
+    * components — the centroid ranking dot is float×double, the
+    * identical IEEE ascending fold as KMeans.dotFold / oracle duckDot.
+    */
+  private def centsRowOf(cb: DataFrame): DataFrame =
+    cb.agg(expr("array_sort(collect_list(struct(cid, " +
+      "transform(cs, v -> CAST(v AS DOUBLE)) AS csd)))").as("cents"))
+
+  /** Soft assignment of every vector to its SOFT nearest cells: ranks
+    * the broadcast codebook inside an array (map-only). Output:
+    * (vec_id, ivd fixed-point DOUBLEs, crank, acell).
+    */
+  private def softOf(e: DataFrame, centsRow: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), expr(scaledD).as("ivd"),
+        posexplode(expr(
+          "transform(slice(array_sort(transform(cents, c -> " +
+            "struct(-array_dot(embedding, c.csd) AS nd, " +
+            s"c.cid AS cid))), 1, $SOFT), r -> r.cid)"))
+          .as(Seq("crank", "acell")))
+
+  /** Scored candidate pairs: `srcs` × `cands` sharing a soft cell
+    * (bounded blocks, never all-pairs). Dots run through the codegen'd
+    * array_dot kernel on DOUBLE-typed fixed-point integers:
+    * |value| <= ~6e5, so a 64-dim dot is <= ~2e13 — far inside
+    * double's 2^53 exact-integer range, and CAST(... AS BIGINT)
+    * recovers the same integer the oracle computes in BIGINT.
+    */
+  private def pairsOf(srcs: DataFrame, cands: DataFrame): DataFrame =
+    srcs.as("a")
+      .join(cands.as("b"), col("a.acell") === col("b.acell"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        expr("CAST(array_dot(a.ivd, b.ivd) AS BIGINT)").as("w"))
+
+  /** Degree cap: dedup + top-DEG selection fused into ONE shuffle keyed
+    * on src via a sorted collect_set slice — the same edges the
+    * oracle's DISTINCT + ROW_NUMBER chain yields.
+    */
+  private def topDeg(ew: DataFrame): DataFrame =
+    ew.groupBy(col("src"))
+      .agg(expr(s"slice(array_sort(collect_set(" +
+        s"struct(-w AS nw, dst))), 1, $DEG)").as("top"))
+      .select(col("src"),
+        explode(expr("transform(top, t -> t.dst)")).as("dst"))
+
   /** The kNN-graph artifacts for the corpus at `dir`: `ivc` (the
     * fixed-point vector table, a map-only scan), `edges` (the
     * degree-capped graph, n·DEG rows, read from parquet) and `hard`
-    * (every vector's rank-0 cell, read from parquet).
-    *
-    * Build (only on a missing/stale marker): soft assignment ranks the
-    * broadcast codebook inside an array (map-only); candidate pairs
-    * share a soft cell (bounded blocks, never all-pairs); dedup +
-    * top-DEG selection are fused into ONE shuffle keyed on src via a
-    * sorted collect_set slice — the same edges the oracle's DISTINCT +
-    * ROW_NUMBER chain yields. Dots run through the codegen'd array_dot
-    * kernel on DOUBLE-typed fixed-point integers: |value| <= ~6e5, so
-    * a 64-dim dot is <= ~2e13 — far inside double's 2^53 exact-integer
-    * range, and CAST(... AS BIGINT) recovers the same integer the
-    * oracle computes in BIGINT.
+    * (every vector's rank-0 cell, read from parquet). Build runs only
+    * on a missing/stale marker.
     */
   private def graphArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -106,29 +142,8 @@ object Round7Final {
           java.nio.file.Files.readString(mk) == expect
         if (!fresh) {
           val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-          // the centroid ranking dot is float×double — the identical
-          // IEEE ascending fold as KMeans.dotFold / the oracle duckDot
-          val centsRow = cb
-            .agg(expr("array_sort(collect_list(struct(cid, " +
-              "transform(cs, v -> CAST(v AS DOUBLE)) AS csd)))")
-              .as("cents"))
-          val soft = e.crossJoin(broadcast(centsRow))
-            .select(col("vec_id"), expr(scaledD).as("ivd"),
-              posexplode(expr(
-                "transform(slice(array_sort(transform(cents, c -> " +
-                  "struct(-array_dot(embedding, c.csd) AS nd, " +
-                  s"c.cid AS cid))), 1, $SOFT), r -> r.cid)"))
-                .as(Seq("crank", "acell")))
-          val ew = soft.as("a")
-            .join(soft.as("b"), col("a.acell") === col("b.acell"))
-            .filter(col("a.vec_id") =!= col("b.vec_id"))
-            .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-              expr("CAST(array_dot(a.ivd, b.ivd) AS BIGINT)").as("w"))
-          ew.groupBy(col("src"))
-            .agg(expr(s"slice(array_sort(collect_set(" +
-              s"struct(-w AS nw, dst))), 1, $DEG)").as("top"))
-            .select(col("src"),
-              explode(expr("transform(top, t -> t.dst)")).as("dst"))
+          val soft = softOf(e, centsRowOf(cb))
+          topDeg(pairsOf(soft, soft))
             .write.mode("overwrite").parquet(s"$p/edges")
           // crank 0 IS the hard assignment — persisted for the
           // entry-point lookup, no serve-time corpus-wide assign pass
@@ -153,6 +168,17 @@ object Round7Final {
     val (ivc, edges, hard) = graphArtifacts(s, dir)
     val e = Tables.table(s, dir, "embeddings")
     val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+    beamOver(s, e, cb, ivc, edges, hard, beam, hops)
+  }
+
+  /** The serve path over an arbitrary (ivc, edges, hard) graph — shared
+    * by q233/q234 (full-corpus graph) and q235 (incrementally ingested
+    * graph).
+    */
+  private def beamOver(
+      s: SparkSession, e: DataFrame, cb: DataFrame, ivc: DataFrame,
+      edges: DataFrame, hard: DataFrame, beam: Int, hops: Int)
+      : DataFrame = {
     def pin(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
       s.createDataFrame(cp.rdd, cp.schema)
@@ -193,6 +219,31 @@ object Round7Final {
     }
     visited
   }
+
+  // ---------------- incremental graph ingest (q235) -------------------
+
+  private val P = 1000000007L // edge-set fingerprint modulus
+
+  /** Order-independent (row count, fingerprint) of a (src, dst) edge
+    * set — the q225/q227 ledger discipline applied to graph edges.
+    */
+  private def fpEdges(edges: DataFrame): DataFrame =
+    edges.select(concat_ws("|", col("src"), col("dst")).as("rs"))
+      .agg(count(lit(1)).cast("bigint").as("nr"),
+        (sum(expr("aggregate(transform(filter(split(md5(rs), ''), " +
+          "ch -> ch != ''), ch -> CAST(ascii(ch) AS BIGINT)), 0L, " +
+          s"(a, b) -> (a * 31 + b) % $P)")) % P).as("fp"))
+
+  /** The matching oracle CTE over an edge CTE. */
+  private def duckFpEdges(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+       |    CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(md5(rs), ''),
+       |        ch -> CAST(unicode(ch) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % $P)) % $P AS BIGINT) AS fp
+       |  FROM (SELECT concat_ws('|', src, dst) AS rs FROM $src))"""
+      .stripMargin
 
   /** Shared oracle prefix: trains the coarse codebook, builds the
     * degree-capped kNN graph from soft-cell-blocked pairs, and exposes
@@ -257,6 +308,101 @@ object Round7Final {
          |  JOIN edges e ON e.src = f.vec_id WHERE e.dst <> 0)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** The q235 oracle prefix: trains the coarse codebook ON THE BASE
+    * 80% ONLY, soft-assigns the whole corpus with it, builds the base
+    * graph, the incrementally updated graph (`edges` — untouched base
+    * rows kept verbatim, sources in touched cells recomputed, new
+    * sources added) and the full-rebuild referee (`edgesf`), plus the
+    * serve/referee spine (`qv`, `probes`, `hard`, `v0`, `tope`) in the
+    * exact names `hopChainSql` consumes.
+    */
+  private def incPrefixSql: String =
+    s"""base AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE vec_id % 10 < 8),
+       |${KMeans.kkCte("base")},
+       |${KMeans.oracleCtesSlice(KMeans.duckK, CITERS, 0, 0, "", "base")},
+       |ivc AS MATERIALIZED (
+       |  SELECT vec_id, ${Pq.duckScaled("embedding")} AS iv
+       |  FROM embeddings),
+       |assign AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+       |        c.cid ASC) AS rn
+       |  FROM embeddings e, cl$CITERS c),
+       |soft AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, i.iv FROM assign a
+       |  JOIN ivc i USING (vec_id) WHERE a.rn <= $SOFT),
+       |softb AS MATERIALIZED (SELECT * FROM soft WHERE vec_id % 10 < 8),
+       |softd AS MATERIALIZED (SELECT * FROM soft WHERE vec_id % 10 >= 8),
+       |touched AS MATERIALIZED (SELECT DISTINCT cid FROM softd),
+       |rsrc AS MATERIALIZED (
+       |  SELECT DISTINCT b.vec_id FROM softb b
+       |  JOIN touched t ON b.cid = t.cid),
+       |ewb AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+       |  FROM softb a JOIN softb b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |edgesb AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rn FROM ewb)
+       |  WHERE rn <= $DEG),
+       |recsrc AS MATERIALIZED (
+       |  SELECT vec_id FROM rsrc
+       |  UNION SELECT DISTINCT vec_id FROM softd),
+       |ewr AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+       |  FROM soft a JOIN recsrc r ON a.vec_id = r.vec_id
+       |  JOIN soft b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |edgesr AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rn FROM ewr)
+       |  WHERE rn <= $DEG),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM edgesb
+       |  WHERE src NOT IN (SELECT vec_id FROM rsrc)
+       |  UNION ALL SELECT src, dst FROM edgesr),
+       |ewf AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+       |  FROM soft a JOIN soft b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |edgesf AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rn FROM ewf)
+       |  WHERE rn <= $DEG),
+       |${duckFpEdges("fpi", "edges")},
+       |${duckFpEdges("fpf", "edgesf")},
+       |dd AS (SELECT fi.nr - ff.nr AS rows_delta,
+       |  fi.fp - ff.fp AS fp_delta FROM fpi fi, fpf ff),
+       |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_new
+       |  FROM softd),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_touched FROM touched),
+       |qv AS (SELECT iv AS qiv FROM ivc WHERE vec_id = 0),
+       |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+       |  AND rn <= $NPROBE),
+       |hard AS MATERIALIZED (SELECT vec_id, cid FROM assign
+       |  WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+       |  SELECT MIN(h.vec_id) AS vec_id FROM hard h
+       |  JOIN probes p ON h.cid = p.cid WHERE h.vec_id <> 0
+       |  GROUP BY h.cid)),
+       |tope AS MATERIALIZED (
+       |  SELECT vec_id FROM ivc, qv q WHERE vec_id <> 0
+       |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
+       |  LIMIT 10)""".stripMargin
+
+  // (data dir) -> base-graph artifact root for the incremental family
+  // (keyed on the BASE corpus — a different artifact than q233's
+  // full-corpus graph)
+  private val builtIncGraph =
+    scala.collection.mutable.Map.empty[String, String]
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -344,6 +490,114 @@ object Round7Final {
           .select(lit(b).cast("int").as("beam"),
             col("n_visited"), col("n_hit"))
       }.reduce(_ union _).orderBy(col("beam").asc)
+    },
+
+    Q(
+      "q235_graph_incremental_ingest",
+      s"""WITH $incPrefixSql,
+         |${hopChainSql(BEAM, "")},
+         |scored AS MATERIALIZED (
+         |  SELECT vec_id, ${Pq.duckIntDot("iv", "q.qiv")} AS exact
+         |  FROM v$HOPS JOIN ivc USING (vec_id), qv q),
+         |tp AS (SELECT * FROM scored
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_visited
+         |  FROM v$HOPS)
+         |SELECT t.vec_id, t.exact,
+         |  CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, v.n_visited, n.n_new, tt.n_touched,
+         |  d.rows_delta, d.fp_delta
+         |FROM tp t LEFT JOIN tope e ON t.vec_id = e.vec_id,
+         |  nv v, nn n, nt tt, dd d
+         |ORDER BY t.exact DESC, t.vec_id ASC""".stripMargin) { (s, dir) =>
+      // INCREMENTAL GRAPH INGEST — the daily operation of a deployed
+      // graph index: the corpus splits 80/20 into base (the persisted
+      // v1 graph was built on it, coarse codebook trained on it) and a
+      // new batch. Ingest soft-assigns ONLY the new vectors with the
+      // existing codebook (map stage), then recomputes top-DEG edges
+      // ONLY for sources with a soft cell touched by the batch — work
+      // bounded by touched-cell occupancy (≤ SOFT·|delta| cells), not
+      // corpus size. rows_delta/fp_delta prove the ingested graph is
+      // row-identical to a full rebuild over the union corpus with the
+      // same codebook (exact: an untouched source's candidate set is
+      // unchanged by definition of "touched"); serving then runs the
+      // beam search FROM THE PERSISTED v2 FILES with the exact-top-10
+      // referee.
+      graft.functions.ArrayDot.register(s)
+      val e = Tables.table(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 < 8)
+      val cb = KMeans.codebook(s, base, KMeans.servingK(base), CITERS)
+      val soft = softOf(e, centsRowOf(cb))
+      val softB = soft.filter(col("vec_id") % 10 < 8)
+      val softD = soft.filter(col("vec_id") % 10 >= 8)
+      // ---- the persisted v1 artifact (base graph) ----
+      val p = builtIncGraph.synchronized {
+        builtIncGraph.getOrElseUpdate(dir, {
+          val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+            s"graft_knngraphinc_${Integer.toHexString(dir.hashCode)}")
+            .toString
+          val mk = java.nio.file.Paths.get(root, "_meta.json")
+          val expect = marker(base)
+          val fresh = java.nio.file.Files.exists(mk) &&
+            java.nio.file.Files.readString(mk) == expect
+          if (!fresh) {
+            topDeg(pairsOf(softB, softB))
+              .write.mode("overwrite").parquet(s"$root/edges_v1")
+            java.nio.file.Files.writeString(mk, expect)
+          }
+          root
+        })
+      }
+      val edgesV1 = s.read.parquet(s"$p/edges_v1")
+      // ---- ingest: touched cells -> recomputed sources ----
+      val touched = softD.select(col("acell")).distinct()
+      val rsrc = softB.join(broadcast(touched), Seq("acell"))
+        .select(col("vec_id")).distinct()
+      val recsrc = rsrc.union(softD.select(col("vec_id"))).distinct()
+      val edgesRec = topDeg(pairsOf(soft.join(recsrc, Seq("vec_id")),
+        soft))
+      val edgesInc = edgesV1
+        .join(rsrc.withColumnRenamed("vec_id", "src"), Seq("src"),
+          "left_anti")
+        .unionByName(edgesRec)
+      edgesInc.write.mode("overwrite").parquet(s"$p/edges_v2")
+      val edgesServe = s.read.parquet(s"$p/edges_v2")
+      // ---- referee: full rebuild with the SAME base-trained codebook
+      val edgesFull = topDeg(pairsOf(soft, soft))
+      val dd = fpEdges(edgesServe)
+        .select(col("nr").as("ni"), col("fp").as("fi"))
+        .crossJoin(broadcast(fpEdges(edgesFull)
+          .select(col("nr").as("nf"), col("fp").as("ff"))))
+        .select((col("ni") - col("nf")).as("rows_delta"),
+          (col("fi") - col("ff")).as("fp_delta"))
+      val nNew = softD.select(col("vec_id")).distinct()
+        .agg(count(lit(1)).cast("bigint").as("n_new"))
+      val nTouched = touched
+        .agg(count(lit(1)).cast("bigint").as("n_touched"))
+      // ---- serve from the ingested files ----
+      val ivc = e.select(col("vec_id"), expr(scaledD).as("ivd"))
+      val hard = soft.filter(col("crank") === 0)
+        .select(col("vec_id"), col("acell"))
+      val visited = beamOver(s, e, cb, ivc, edgesServe, hard, BEAM, HOPS)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val top = ivc.join(broadcast(visited), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      val nVisited = visited
+        .agg(count(lit(1)).cast("bigint").as("n_visited"))
+      val tope = ivc.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
+        .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      top.join(broadcast(tope), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nVisited)).crossJoin(broadcast(nNew))
+        .crossJoin(broadcast(nTouched)).crossJoin(broadcast(dd))
+        .select(col("vec_id"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          col("n_visited"), col("n_new"), col("n_touched"),
+          col("rows_delta"), col("fp_delta"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
     }
   )
 }

@@ -138,8 +138,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-7 batch 3: the kNN-graph build's top-DEG window must stay
     // PARTITIONED BY src; every beam top-k is an orderBy+limit
     // (TakeOrderedAndProject), never a global sort; q234 sweeps beam
-    // widths over the same shared artifacts
-    "q233_graph_beam_search", "q234_beam_width_curve")
+    // widths over the same shared artifacts; q235's recompute top-DEG
+    // stays keyed on src
+    "q233_graph_beam_search", "q234_beam_width_curve",
+    "q235_graph_incremental_ingest")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -238,8 +240,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q232_binary_hamming",
       // q233: the codebook, per-hop frontiers, query row, and referee
       // top-10 all ride broadcasts; only the graph build shuffles.
-      // q234 reuses the same serving shapes at every beam width
-      "q233_graph_beam_search", "q234_beam_width_curve")
+      // q234 reuses the same serving shapes at every beam width; q235
+      // additionally broadcasts the touched-cell set into the
+      // recompute scope
+      "q233_graph_beam_search", "q234_beam_width_curve",
+      "q235_graph_incremental_ingest")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -88,4 +88,30 @@ class Round7FinalSpec extends AnyFunSuite {
     assert(rows.last._3 >= 4, "beam=8 must recover at least 4 of the " +
       "exact top-10 (deterministic: measured 4)")
   }
+
+  test("q235: incremental ingest is fingerprint-identical to a full " +
+    "rebuild and the serve path keeps the bounded-visited invariant") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry
+      .queries("q235_graph_incremental_ingest")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 10, "serve must return a full top-10")
+    rows.foreach { case (_, _, _, nVisited, nNew, nTouched, rowsD, fpD) =>
+      // THE theorem: untouched sources keep their edges verbatim,
+      // touched ones are recomputed — and the result is row-identical
+      // to rebuilding the whole graph over the union corpus
+      assert(rowsD == 0L, s"rows_delta $rowsD != 0: ingest != rebuild")
+      assert(fpD == 0L, s"fp_delta $fpD != 0: ingest != rebuild")
+      assert(nNew > 0, "the delta batch must be non-empty")
+      assert(nTouched > 0, "new vectors must touch at least one cell")
+      assert(nVisited <= 2 + 3 * 4 * 6,
+        s"visited $nVisited exceeds the serving bound")
+    }
+    // ordered output, distinct ids
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
 }
