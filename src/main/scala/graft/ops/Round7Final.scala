@@ -44,6 +44,8 @@ object Round7Final {
   private val HOPS = 3 // unrolled search depth
   private val NPROBE = 2 // entry cells for the query
   private val BEAMS = Seq(2, 4, 8) // q234's operating-curve widths
+  private val L1MOD = 8 // q236: every 8th vector promotes to layer 1
+  private val L1BEAM = 2 // q236: narrow beam for the layer-1 descent
 
   private val scaledD =
     "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
@@ -179,15 +181,6 @@ object Round7Final {
       s: SparkSession, e: DataFrame, cb: DataFrame, ivc: DataFrame,
       edges: DataFrame, hard: DataFrame, beam: Int, hops: Int)
       : DataFrame = {
-    def pin(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint(true)
-      s.createDataFrame(cp.rdd, cp.schema)
-    }
-    // the query vector is one bounded row — fetched once and inlined
-    // as a literal, so the per-hop scoring plans carry no
-    // broadcast-build job for it
-    val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
-    val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
     val wq = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
@@ -199,12 +192,31 @@ object Round7Final {
       .filter(col("vec_id") =!= 0)
       .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).distinct()
+    beamFrom(s, ivc, edges, entries, beam, hops)
+  }
+
+  /** The hop loop itself, from an arbitrary bounded entry frame —
+    * shared by the IVF-probed entries (q233-q235) and the hierarchical
+    * descent (q236, whose entries come from the layer-1 beam).
+    */
+  private def beamFrom(
+      s: SparkSession, ivc: DataFrame, edges: DataFrame,
+      entries: DataFrame, beam: Int, hops: Int): DataFrame = {
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      s.createDataFrame(cp.rdd, cp.schema)
+    }
+    // the query vector is one bounded row — fetched once and inlined
+    // as a literal, so the per-hop scoring plans carry no
+    // broadcast-build job for it
+    val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+    val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
     def topB(v: DataFrame): DataFrame =
       ivc.join(broadcast(v), Seq("vec_id"))
         .select(col("vec_id"), qdot.cast("bigint").as("exact"))
         .orderBy(col("exact").desc, col("vec_id").asc)
         .limit(beam).select(col("vec_id"))
-    // each hop's visited set is ≤ NPROBE + hop·beam·DEG rows;
+    // each hop's visited set is ≤ |entries| + hop·beam·DEG rows;
     // checkpointing it keeps every later consumer (next hop's beam,
     // the final scoring, n_visited) from re-executing the whole
     // union-of-hops lineage inside its broadcast subplan
@@ -292,12 +304,15 @@ object Round7Final {
 
   /** The unrolled beam-search hop chain: `f<i><tag>` is hop i's beam
     * (top-`beam` of the visited set), `v<i+1><tag>` the expanded
-    * visited set. Hop 0 starts from the shared `v0`.
+    * visited set. Hop 0 starts from the `entry` CTE (default the
+    * IVF-probed `v0`); neighbors come from the `edges` CTE (default
+    * the layer-0 graph — q236's layer-1 chain passes its own).
     */
-  private def hopChainSql(beam: Int, tag: String): String =
+  private def hopChainSql(beam: Int, tag: String,
+      edges: String = "edges", entry: String = "v0"): String =
     (1 to HOPS).map { i =>
       val p = i - 1
-      val prev = if (p == 0) "v0" else s"v$p$tag"
+      val prev = if (p == 0) entry else s"v$p$tag"
       s"""f$p$tag AS (SELECT vec_id FROM $prev JOIN ivc USING (vec_id),
          |  qv q ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC,
          |  vec_id ASC LIMIT $beam),
@@ -305,7 +320,7 @@ object Round7Final {
          |  SELECT vec_id FROM $prev
          |  UNION
          |  SELECT e.dst AS vec_id FROM f$p$tag f
-         |  JOIN edges e ON e.src = f.vec_id WHERE e.dst <> 0)"""
+         |  JOIN $edges e ON e.src = f.vec_id WHERE e.dst <> 0)"""
         .stripMargin
     }.mkString(",\n")
 
@@ -402,6 +417,11 @@ object Round7Final {
   // (keyed on the BASE corpus — a different artifact than q233's
   // full-corpus graph)
   private val builtIncGraph =
+    scala.collection.mutable.Map.empty[String, String]
+
+  // (data dir) -> layer-1 graph artifact root (q236's sparse upper
+  // layer over the same full-corpus codebook as q233's layer 0)
+  private val builtHier =
     scala.collection.mutable.Map.empty[String, String]
 
   val queries: Seq[Q] = Seq(
@@ -597,6 +617,107 @@ object Round7Final {
           coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
           col("n_visited"), col("n_new"), col("n_touched"),
           col("rows_delta"), col("fp_delta"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    Q(
+      "q236_hierarchical_graph_search",
+      s"""WITH $graphPrefixSql,
+         |soft1 AS MATERIALIZED (
+         |  SELECT * FROM soft WHERE vec_id % $L1MOD = 1),
+         |ew1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+         |  FROM soft1 a JOIN soft1 b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |edges1 AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst ASC) AS rn FROM ew1)
+         |  WHERE rn <= $DEG),
+         |v0h AS (SELECT DISTINCT MIN(vec_id) AS vec_id FROM soft1),
+         |${hopChainSql(L1BEAM, "_l1", "edges1", "v0h")},
+         |seed AS MATERIALIZED (
+         |  SELECT vec_id FROM v${HOPS}_l1 JOIN ivc USING (vec_id), qv q
+         |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
+         |  LIMIT $BEAM),
+         |${hopChainSql(BEAM, "_l0", "edges", "seed")},
+         |scored AS MATERIALIZED (
+         |  SELECT vec_id, ${Pq.duckIntDot("iv", "q.qiv")} AS exact
+         |  FROM v${HOPS}_l0 JOIN ivc USING (vec_id), qv q),
+         |tp AS (SELECT * FROM scored
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |nv1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vis_l1
+         |  FROM v${HOPS}_l1),
+         |nv0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vis_l0
+         |  FROM v${HOPS}_l0),
+         |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM tp t JOIN tope e ON t.vec_id = e.vec_id)
+         |SELECT t.vec_id, t.exact,
+         |  CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, v1.n_vis_l1, v0c.n_vis_l0, h.n_hit
+         |FROM tp t LEFT JOIN tope e ON t.vec_id = e.vec_id,
+         |  nv1 v1, nv0 v0c, hh h
+         |ORDER BY t.exact DESC, t.vec_id ASC""".stripMargin) { (s, dir) =>
+      // HIERARCHICAL GRAPH SEARCH — the full HNSW shape: a sparse
+      // layer-1 graph (every L1MOD-th vector, same soft-cell blocking
+      // and codebook as layer 0) is descended first with a narrow beam
+      // from a single fixed entry point (the lowest layer-1 id), and
+      // its best BEAM results seed the layer-0 beam search — NO coarse
+      // probe at serve time at all: entry selection itself is a graph
+      // walk, so the whole serving path is O(HOPS·BEAM·DEG) bounded
+      // rows per layer regardless of corpus size or cell occupancy.
+      val (ivc, edges, _) = graphArtifacts(s, dir)
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+      val p = builtHier.synchronized {
+        builtHier.getOrElseUpdate(dir, {
+          val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+            s"graft_knngraphl1_${Integer.toHexString(dir.hashCode)}")
+            .toString
+          val mk = java.nio.file.Paths.get(root, "_meta.json")
+          val expect = marker(e)
+          val fresh = java.nio.file.Files.exists(mk) &&
+            java.nio.file.Files.readString(mk) == expect
+          if (!fresh) {
+            val soft1 = softOf(e, centsRowOf(cb))
+              .filter(col("vec_id") % L1MOD === 1)
+            topDeg(pairsOf(soft1, soft1))
+              .write.mode("overwrite").parquet(s"$root/edges_l1")
+            java.nio.file.Files.writeString(mk, expect)
+          }
+          root
+        })
+      }
+      val edges1 = s.read.parquet(s"$p/edges_l1")
+      val entry0 = e.filter(col("vec_id") % L1MOD === 1)
+        .agg(min(col("vec_id")).cast("bigint").as("vec_id"))
+      val vis1 = beamFrom(s, ivc, edges1, entry0, L1BEAM, HOPS)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val seed = ivc.join(broadcast(vis1), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("sx"))
+        .orderBy(col("sx").desc, col("vec_id").asc).limit(BEAM)
+        .select(col("vec_id"))
+      val vis0 = beamFrom(s, ivc, edges, seed, BEAM, HOPS)
+      val top = ivc.join(broadcast(vis0), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      val nv1 = vis1.agg(count(lit(1)).cast("bigint").as("n_vis_l1"))
+      val nv0 = vis0.agg(count(lit(1)).cast("bigint").as("n_vis_l0"))
+      val tope = ivc.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
+        .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nHit = top.select(col("vec_id"))
+        .join(broadcast(tope), Seq("vec_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_hit"))
+      top.join(broadcast(tope), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nv1)).crossJoin(broadcast(nv0))
+        .crossJoin(broadcast(nHit))
+        .select(col("vec_id"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          col("n_vis_l1"), col("n_vis_l0"), col("n_hit"))
         .orderBy(col("exact").desc, col("vec_id").asc)
     }
   )

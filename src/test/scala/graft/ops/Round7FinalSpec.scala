@@ -114,4 +114,26 @@ class Round7FinalSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall { case Array(a, b) =>
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
   }
+
+  test("q236: hierarchical descent keeps BOTH layers' visited sets " +
+    "bounded and still recovers exact-top-10 members") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry
+      .queries("q236_hierarchical_graph_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10, "hierarchical search must return a top-10")
+    rows.foreach { case (_, _, _, nL1, nL0, nHit) =>
+      // layer 1: one fixed entry + HOPS*L1BEAM*DEG; layer 0: BEAM
+      // seeds + HOPS*BEAM*DEG — corpus-size-independent, both layers
+      assert(nL1 <= 1 + 3 * 2 * 6, s"layer-1 visited $nL1 over bound")
+      assert(nL0 <= 4 + 3 * 4 * 6, s"layer-0 visited $nL0 over bound")
+      assert(nHit >= 2, "descent must recover at least 2 of the exact " +
+        "top-10 on this corpus (deterministic: measured 2)")
+    }
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
 }
