@@ -719,6 +719,141 @@ object Round7Final {
           coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
           col("n_vis_l1"), col("n_vis_l0"), col("n_hit"))
         .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    Q(
+      "q237_graph_delete_compact",
+      s"""WITH $graphPrefixSql,
+         |softs AS MATERIALIZED (
+         |  SELECT * FROM soft WHERE vec_id % 7 <> 3),
+         |tcell AS MATERIALIZED (
+         |  SELECT DISTINCT cid FROM soft WHERE vec_id % 7 = 3),
+         |rsv AS MATERIALIZED (
+         |  SELECT DISTINCT s.vec_id FROM softs s
+         |  JOIN tcell t ON s.cid = t.cid),
+         |ewc AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+         |  FROM softs a JOIN rsv r ON a.vec_id = r.vec_id
+         |  JOIN softs b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |edgesrc AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst ASC) AS rn FROM ewc)
+         |  WHERE rn <= $DEG),
+         |edgesc AS MATERIALIZED (
+         |  SELECT src, dst FROM edges
+         |  WHERE src % 7 <> 3 AND src NOT IN (SELECT vec_id FROM rsv)
+         |  UNION ALL SELECT src, dst FROM edgesrc),
+         |ewfs AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |    ${Pq.duckIntDot("a.iv", "b.iv")} AS w
+         |  FROM softs a JOIN softs b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |edgesfs AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst ASC) AS rn FROM ewfs)
+         |  WHERE rn <= $DEG),
+         |${duckFpEdges("fpc", "edgesc")},
+         |${duckFpEdges("fpfs", "edgesfs")},
+         |ddc AS (SELECT fc.nr - ff.nr AS rows_delta,
+         |  fc.fp - ff.fp AS fp_delta FROM fpc fc, fpfs ff),
+         |ntv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tomb
+         |  FROM embeddings WHERE vec_id % 7 = 3),
+         |v0s AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+         |  SELECT MIN(h.vec_id) AS vec_id FROM hard h
+         |  JOIN probes p ON h.cid = p.cid
+         |  WHERE h.vec_id <> 0 AND h.vec_id % 7 <> 3
+         |  GROUP BY h.cid)),
+         |${hopChainSql(BEAM, "_c", "edgesc", "v0s")},
+         |scoredc AS MATERIALIZED (
+         |  SELECT vec_id, ${Pq.duckIntDot("iv", "q.qiv")} AS exact
+         |  FROM v${HOPS}_c JOIN ivc USING (vec_id), qv q),
+         |tpc AS (SELECT * FROM scoredc
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |nvc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_visited
+         |  FROM v${HOPS}_c),
+         |topes AS MATERIALIZED (
+         |  SELECT vec_id FROM ivc, qv q
+         |  WHERE vec_id <> 0 AND vec_id % 7 <> 3
+         |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
+         |  LIMIT 10)
+         |SELECT t.vec_id, t.exact,
+         |  CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, v.n_visited, n.n_tomb,
+         |  d.rows_delta, d.fp_delta
+         |FROM tpc t LEFT JOIN topes e ON t.vec_id = e.vec_id,
+         |  nvc v, ntv n, ddc d
+         |ORDER BY t.exact DESC, t.vec_id ASC""".stripMargin) { (s, dir) =>
+      // GRAPH DELETE + COMPACTION — the q227 tombstone discipline for
+      // the graph tier, completing its lifecycle (build → tune →
+      // ingest → delete → serve): a deterministic doc set (vec_id%7=3)
+      // is tombstoned in a ledger next to the persisted graph, then
+      // compaction recomputes top-DEG edges ONLY for surviving sources
+      // with a soft cell touched by a deletion (an untouched source's
+      // candidate set is unchanged, and its neighbors are provably all
+      // survivors — a tombstoned dst would have made the shared cell
+      // touched). rows_delta/fp_delta prove the compacted graph is
+      // row-identical to a fresh build over the survivors with the
+      // same codebook; serving runs from the compacted files with the
+      // exact referee over survivors only.
+      val (ivc, edges, hard) = graphArtifacts(s, dir)
+      val root = builtGraph.synchronized(builtGraph(dir))
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+      val soft = softOf(e, centsRowOf(cb))
+      // ---- DELETE: tombstone ledger next to the graph artifact ----
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/tombstones")
+      val tomb = s.read.parquet(s"$root/tombstones")
+      // ---- COMPACT: touched-cell recompute over survivors ----
+      val softS = soft.join(tomb, Seq("vec_id"), "left_anti")
+      val touched = soft.join(tomb, Seq("vec_id"))
+        .select(col("acell")).distinct()
+      val rsv = softS.join(broadcast(touched), Seq("acell"))
+        .select(col("vec_id")).distinct()
+      val edgesRec = topDeg(pairsOf(softS.join(rsv, Seq("vec_id")),
+        softS))
+      val tombSrc = tomb.withColumnRenamed("vec_id", "src")
+      edges.join(tombSrc, Seq("src"), "left_anti")
+        .join(rsv.withColumnRenamed("vec_id", "src"), Seq("src"),
+          "left_anti")
+        .unionByName(edgesRec)
+        .write.mode("overwrite").parquet(s"$root/edges_v2c")
+      val edgesC = s.read.parquet(s"$root/edges_v2c")
+      // ---- REFEREE: fresh build over the survivors, same codebook
+      val edgesFresh = topDeg(pairsOf(softS, softS))
+      val dd = fpEdges(edgesC)
+        .select(col("nr").as("nc"), col("fp").as("fc"))
+        .crossJoin(broadcast(fpEdges(edgesFresh)
+          .select(col("nr").as("nf"), col("fp").as("ff"))))
+        .select((col("nc") - col("nf")).as("rows_delta"),
+          (col("fc") - col("ff")).as("fp_delta"))
+      val nTomb = tomb.agg(count(lit(1)).cast("bigint").as("n_tomb"))
+      // ---- SERVE from the compacted graph, survivor entries only ----
+      val hardS = hard.join(tomb, Seq("vec_id"), "left_anti")
+      val visited = beamOver(s, e, cb, ivc, edgesC, hardS, BEAM, HOPS)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val top = ivc.join(broadcast(visited), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      val nVisited = visited
+        .agg(count(lit(1)).cast("bigint").as("n_visited"))
+      val topes = ivc.filter(col("vec_id") =!= 0)
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
+        .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      top.join(broadcast(topes), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nVisited)).crossJoin(broadcast(nTomb))
+        .crossJoin(broadcast(dd))
+        .select(col("vec_id"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          col("n_visited"), col("n_tomb"),
+          col("rows_delta"), col("fp_delta"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
     }
   )
 }

@@ -141,7 +141,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // widths over the same shared artifacts; q235's recompute top-DEG
     // stays keyed on src
     "q233_graph_beam_search", "q234_beam_width_curve",
-    "q235_graph_incremental_ingest", "q236_hierarchical_graph_search")
+    "q235_graph_incremental_ingest", "q236_hierarchical_graph_search",
+    "q237_graph_delete_compact")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -244,7 +245,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // additionally broadcasts the touched-cell set into the
       // recompute scope
       "q233_graph_beam_search", "q234_beam_width_curve",
-      "q235_graph_incremental_ingest", "q236_hierarchical_graph_search")
+      "q235_graph_incremental_ingest", "q236_hierarchical_graph_search",
+      "q237_graph_delete_compact")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

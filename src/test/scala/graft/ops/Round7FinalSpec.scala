@@ -136,4 +136,26 @@ class Round7FinalSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall { case Array(a, b) =>
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
   }
+
+  test("q237: compaction is fingerprint-identical to a fresh survivor " +
+    "build and serving can never return a tombstoned id") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry
+      .queries("q237_graph_delete_compact")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 10, "post-delete serve must return a top-10")
+    rows.foreach { case (id, _, _, nVisited, nTomb, rowsD, fpD) =>
+      assert(id % 7 != 3, s"tombstoned vec $id leaked into the result")
+      assert(rowsD == 0L, s"rows_delta $rowsD != 0: compact != fresh")
+      assert(fpD == 0L, s"fp_delta $fpD != 0: compact != fresh")
+      assert(nTomb > 0, "the tombstone set must be non-empty")
+      assert(nVisited <= 2 + 3 * 4 * 6,
+        s"visited $nVisited exceeds the serving bound")
+    }
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
 }
