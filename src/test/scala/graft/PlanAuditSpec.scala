@@ -142,7 +142,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // stays keyed on src
     "q233_graph_beam_search", "q234_beam_width_curve",
     "q235_graph_incremental_ingest", "q236_hierarchical_graph_search",
-    "q237_graph_delete_compact")
+    "q237_graph_delete_compact",
+    // q238's best-match window must stay PARTITIONED BY val_doc
+    "q238_split_leakage_audit")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -246,7 +248,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // recompute scope
       "q233_graph_beam_search", "q234_beam_width_curve",
       "q235_graph_incremental_ingest", "q236_hierarchical_graph_search",
-      "q237_graph_delete_compact")
+      "q237_graph_delete_compact",
+      // q238: only the bounded count frames broadcast; the candidate
+      // join is a deliberate shuffle on the LSH band key
+      "q238_split_leakage_audit")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
