@@ -46,6 +46,7 @@ object Round7Final {
   private val BEAMS = Seq(2, 4, 8) // q234's operating-curve widths
   private val L1MOD = 8 // q236: every 8th vector promotes to layer 1
   private val L1BEAM = 2 // q236: narrow beam for the layer-1 descent
+  private val QB = 8 // q239: batched-curve query count (q217 style)
 
   private val scaledD =
     "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
@@ -193,6 +194,42 @@ object Round7Final {
       .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).distinct()
     beamFrom(s, ivc, edges, entries, beam, hops)
+  }
+
+  /** Batched hop loop: every query in the bounded `qb` (qid, qiv)
+    * frame advances through the SAME hops — per-hop beams are windows
+    * PARTITIONED BY qid, so a batch of Q queries costs the same number
+    * of Spark jobs as one (the q217 batching discipline applied to
+    * graph serving). `entries`/result: (qid, vec_id), bounded by
+    * Q·(|entries| + hops·beam·DEG) rows.
+    */
+  private def beamFromBatch(
+      s: SparkSession, ivc: DataFrame, edges: DataFrame,
+      entries: DataFrame, qb: DataFrame, beam: Int, hops: Int)
+      : DataFrame = {
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      s.createDataFrame(cp.rdd, cp.schema)
+    }
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+    def topB(v: DataFrame): DataFrame =
+      ivc.join(broadcast(v), Seq("vec_id"))
+        .join(broadcast(qb), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam).select(col("qid"), col("vec_id"))
+    var visited = pin(entries)
+    for (_ <- 1 to hops) {
+      val nbrs = edges
+        .join(broadcast(topB(visited).withColumnRenamed("vec_id", "src")),
+          Seq("src"))
+        .select(col("qid"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+      visited = pin(visited.union(nbrs).distinct())
+    }
+    visited
   }
 
   /** The hop loop itself, from an arbitrary bounded entry frame —
@@ -423,6 +460,50 @@ object Round7Final {
   // layer over the same full-corpus codebook as q233's layer 0)
   private val builtHier =
     scala.collection.mutable.Map.empty[String, String]
+
+  /** The batched oracle spine appended to graphPrefixSql for q239:
+    * `qbb` (the QB query vectors), `probesb` (per-query entry cells),
+    * `v0b` (per-query entry points) and `topeb` (per-query exact
+    * top-10 referee, windowed PARTITION BY qid).
+    */
+  private def batchSpineSql: String =
+    s"""qbb AS MATERIALIZED (
+       |  SELECT vec_id AS qid, iv AS qiv FROM ivc WHERE vec_id < $QB),
+       |probesb AS MATERIALIZED (
+       |  SELECT vec_id AS qid, cid FROM assign
+       |  WHERE vec_id < $QB AND rn <= $NPROBE),
+       |v0b AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+       |  SELECT p.qid, h.cid, MIN(h.vec_id) AS vec_id FROM hard h
+       |  JOIN probesb p ON h.cid = p.cid WHERE h.vec_id <> p.qid
+       |  GROUP BY p.qid, h.cid)),
+       |topeb AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, v.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |    ORDER BY ${Pq.duckIntDot("v.iv", "q.qiv")} DESC,
+       |      v.vec_id ASC) AS rn
+       |  FROM ivc v, qbb q WHERE v.vec_id <> q.qid) WHERE rn <= 10)"""
+      .stripMargin
+
+  /** Batched unrolled hop chain: like hopChainSql, but every level
+    * carries (qid, vec_id) and the per-hop beam is a window
+    * PARTITIONED BY qid.
+    */
+  private def hopChainBatchSql(beam: Int, tag: String): String =
+    (1 to HOPS).map { i =>
+      val p = i - 1
+      val prev = if (p == 0) "v0b" else s"v$p$tag"
+      s"""f$p$tag AS (SELECT qid, vec_id FROM (
+         |  SELECT v.qid, v.vec_id, ROW_NUMBER() OVER (PARTITION BY v.qid
+         |    ORDER BY ${Pq.duckIntDot("i.iv", "q.qiv")} DESC,
+         |      v.vec_id ASC) AS rn
+         |  FROM $prev v JOIN ivc i ON i.vec_id = v.vec_id
+         |  JOIN qbb q ON q.qid = v.qid) WHERE rn <= $beam),
+         |v$i$tag AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM $prev
+         |  UNION
+         |  SELECT f.qid, e.dst AS vec_id FROM f$p$tag f
+         |  JOIN edges e ON e.src = f.vec_id WHERE e.dst <> f.qid)"""
+        .stripMargin
+    }.mkString(",\n")
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -854,6 +935,91 @@ object Round7Final {
           col("n_visited"), col("n_tomb"),
           col("rows_delta"), col("fp_delta"))
         .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    Q(
+      "q239_batched_beam_curve",
+      s"""WITH $graphPrefixSql,
+         |$batchSpineSql,
+         |${BEAMS.map(b => hopChainBatchSql(b, s"_bb$b")).mkString(",\n")},
+         |${BEAMS.map { b =>
+             s"""st$b AS (SELECT CAST($b AS INT) AS beam,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v${HOPS}_bb$b)
+                |    AS n_visited,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                |     SELECT qid, vec_id FROM (
+                |       SELECT v.qid, v.vec_id,
+                |         ROW_NUMBER() OVER (PARTITION BY v.qid
+                |           ORDER BY ${Pq.duckIntDot("i.iv", "q.qiv")}
+                |             DESC, v.vec_id ASC) AS rn
+                |       FROM v${HOPS}_bb$b v
+                |       JOIN ivc i ON i.vec_id = v.vec_id
+                |       JOIN qbb q ON q.qid = v.qid) WHERE rn <= 10) t
+                |   JOIN topeb e ON t.qid = e.qid
+                |     AND t.vec_id = e.vec_id) AS n_hit)"""
+               .stripMargin
+           }.mkString(",\n")}
+         |${BEAMS.map(b => s"SELECT * FROM st$b").mkString(" UNION ALL ")}
+         |ORDER BY beam ASC""".stripMargin) { (s, dir) =>
+      // the q234 operating curve, batch-averaged (the q222 -> q226
+      // lesson applied pre-emptively): every beam width serves the
+      // SAME deterministic QB-query batch (q217 style, vec_id < QB)
+      // through the shared persisted graph, with the whole batch
+      // advancing per hop in the same jobs — windows PARTITIONED BY
+      // qid — so the curve reads recall out of QB*10 referee slots
+      // instead of 10, and batch throughput is the measured quantity.
+      val (ivc, edges, hard) = graphArtifacts(s, dir)
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+      def pin(df: DataFrame): DataFrame = {
+        val cp = df.localCheckpoint(true)
+        s.createDataFrame(cp.rdd, cp.schema)
+      }
+      val qb = ivc.filter(col("vec_id") < QB)
+        .select(col("vec_id").as("qid"), col("ivd").as("qiv"))
+      val wprobe = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probesb = e.filter(col("vec_id") < QB)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .crossJoin(broadcast(cb))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= NPROBE)
+        .select(col("qid"), col("cid"))
+      val entries = hard
+        .join(broadcast(probesb), col("acell") === col("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("acell"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .select(col("qid"), col("vec_id")).distinct()
+      // the per-query exact referee — ONE full scan windowed by qid,
+      // shared by all three widths
+      val wex = Window.partitionBy(col("qid"))
+        .orderBy(col("ex").desc, col("vec_id").asc)
+      val topeb = pin(ivc.crossJoin(broadcast(qb))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("ex"))
+        .withColumn("rn", row_number().over(wex))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id")))
+      val wtop = Window.partitionBy(col("qid"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+      BEAMS.map { b =>
+        val visited = beamFromBatch(s, ivc, edges, entries, qb, b, HOPS)
+        val top = ivc.join(broadcast(visited), Seq("vec_id"))
+          .join(broadcast(qb), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
+          .withColumn("rn", row_number().over(wtop))
+          .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+        val nVisited = visited
+          .agg(count(lit(1)).cast("bigint").as("n_visited"))
+        val nHit = top.join(broadcast(topeb), Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+        nVisited.crossJoin(broadcast(nHit))
+          .select(lit(b).cast("int").as("beam"),
+            col("n_visited"), col("n_hit"))
+      }.reduce(_ union _).orderBy(col("beam").asc)
     }
   )
 }

@@ -144,7 +144,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q235_graph_incremental_ingest", "q236_hierarchical_graph_search",
     "q237_graph_delete_compact",
     // q238's best-match window must stay PARTITIONED BY val_doc
-    "q238_split_leakage_audit")
+    "q238_split_leakage_audit",
+    // q239's per-hop beams and both referees window PARTITION BY qid
+    "q239_batched_beam_curve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -251,7 +253,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q237_graph_delete_compact",
       // q238: only the bounded count frames broadcast; the candidate
       // join is a deliberate shuffle on the LSH band key
-      "q238_split_leakage_audit")
+      "q238_split_leakage_audit",
+      // q239: the query batch, per-hop frontiers, and probe cells all
+      // ride broadcasts into the batched hop joins
+      "q239_batched_beam_curve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

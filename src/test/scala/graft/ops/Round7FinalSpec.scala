@@ -137,6 +137,28 @@ class Round7FinalSpec extends AnyFunSuite {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
   }
 
+  test("q239: the batch-averaged curve is monotone, bounded per query, " +
+    "and carries a denser signal than any single query") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry
+      .queries("q239_batched_beam_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    rows.foreach { case (beam, nVisited, nHit) =>
+      // 8 queries, each bounded by entries (<= NPROBE) + HOPS*beam*DEG
+      assert(nVisited <= 8L * (2 + 3 * beam * 6),
+        s"beam=$beam visited $nVisited exceeds the batch bound")
+      assert(nHit >= 0 && nHit <= 80)
+    }
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 }, "curve must be monotone")
+    // 80 referee slots -> recall quantized at 1/80, not 1/10: the
+    // batch average is a usable tuning signal (deterministic here:
+    // hits 17/20/30)
+    assert(rows.last._3 >= 30, "beam=8 must recover at least 30 of 80")
+  }
+
   test("q237: compaction is fingerprint-identical to a fresh survivor " +
     "build and serving can never return a tombstoned id") {
     assume(available, s"$dir absent — skipping")
