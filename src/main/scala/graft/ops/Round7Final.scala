@@ -131,7 +131,7 @@ object Round7Final {
     * (every vector's rank-0 cell, read from parquet). Build runs only
     * on a missing/stale marker.
     */
-  private def graphArtifacts(s: SparkSession, dir: String)
+  private[ops] def graphArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.table(s, dir, "embeddings")
@@ -230,6 +230,50 @@ object Round7Final {
       visited = pin(visited.union(nbrs).distinct())
     }
     visited
+  }
+
+  /** One micro-batch of the streaming graph serve (q240): the batch's
+    * queries run the batched beam search against the STATIC persisted
+    * graph and write their exact-rescored top-10s to a batchId-keyed
+    * location with overwrite — the q223 retry-idempotent discipline
+    * (a replayed batch replaces, never appends).
+    */
+  private[ops] def serveGraphBatch(
+      ivc: DataFrame, edges: DataFrame, hard: DataFrame, cb: DataFrame,
+      out: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val bs = batch.sparkSession
+      graft.functions.ArrayDot.register(bs)
+      val qb = batch.select(col("vec_id").as("qid"),
+        expr(scaledD).as("qiv"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probesb = batch
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .crossJoin(broadcast(cb))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= NPROBE)
+        .select(col("qid"), col("cid"))
+      val entries = hard
+        .join(broadcast(probesb), col("acell") === col("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("acell"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val visited = beamFromBatch(bs, ivc, edges, entries, qb, BEAM, HOPS)
+      val wk = Window.partitionBy(col("qid"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+      ivc.join(broadcast(visited), Seq("vec_id"))
+        .join(broadcast(qb), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
+        .withColumn("krn", row_number().over(wk))
+        .filter(col("krn") <= 10)
+        .select(col("qid"), col("krn").cast("bigint").as("rank"),
+          col("vec_id"), col("exact"))
+        .write.mode("overwrite").parquet(s"$out/b$batchId")
+    }
   }
 
   /** The hop loop itself, from an arbitrary bounded entry frame —
@@ -1020,6 +1064,46 @@ object Round7Final {
           .select(lit(b).cast("int").as("beam"),
             col("n_visited"), col("n_hit"))
       }.reduce(_ union _).orderBy(col("beam").asc)
+    },
+
+    Q(
+      "q240_stream_graph_search",
+      s"""WITH $graphPrefixSql,
+         |$batchSpineSql,
+         |${hopChainBatchSql(BEAM, "_sb")},
+         |scoredb AS MATERIALIZED (
+         |  SELECT v.qid, v.vec_id,
+         |    ${Pq.duckIntDot("i.iv", "q.qiv")} AS exact
+         |  FROM v${HOPS}_sb v JOIN ivc i ON i.vec_id = v.vec_id
+         |  JOIN qbb q ON q.qid = v.qid)
+         |SELECT qid, CAST(krn AS BIGINT) AS rank, vec_id, exact
+         |FROM (SELECT qid, vec_id, exact,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY exact DESC, vec_id ASC) AS krn
+         |  FROM scoredb) WHERE krn <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      // E7×E12: STREAMING graph serving — the q223 stream-static
+      // discipline for the graph tier: the kNN graph is built once
+      // batch-side (the persisted q233 artifacts), then a stream of
+      // query vectors is served through it, each micro-batch running
+      // the batched beam search (per-hop windows PARTITIONED BY qid)
+      // against the static edges/hard frames. Per-query results are
+      // independent, so the output is IDENTICAL however the source
+      // splits into micro-batches — which is what lets a batch DuckDB
+      // oracle hash-check a streaming query. The sink is batchId-keyed
+      // with overwrite: a replayed batch replaces, never appends.
+      val (ivc, edges, hard) = graphArtifacts(s, dir)
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+      val qStream = Round6Ops.embStream(s, dir)
+        .filter(col("vec_id") < QB)
+      val out = Round6Ops.scratchDir(
+        s"graft_streamgraph_${Integer.toHexString(dir.hashCode)}")
+      val q = qStream.writeStream.outputMode("append")
+        .foreachBatch(serveGraphBatch(ivc, edges, hard, cb, out) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$out/b*").orderBy(col("qid"), col("rank"))
     }
   )
 }

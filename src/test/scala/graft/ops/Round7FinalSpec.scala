@@ -159,6 +159,46 @@ class Round7FinalSpec extends AnyFunSuite {
     assert(rows.last._3 >= 30, "beam=8 must recover at least 30 of 80")
   }
 
+  test("q240: results are well-formed per query and the sink is " +
+    "retry-idempotent (a replayed micro-batch replaces, never appends)") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry
+      .queries("q240_stream_graph_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val qids = rows.map(_._1).distinct
+    assert(qids.length == 8, s"expected 8 served queries, got $qids")
+    qids.foreach { q =>
+      val mine = rows.filter(_._1 == q).sortBy(_._2)
+      assert(mine.map(_._2).toSeq == (1L to 10L),
+        s"query $q: ranks must be exactly 1..10")
+      assert(mine.sliding(2).forall { case Seq(a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) },
+        s"query $q: rank order must follow (exact DESC, vec_id ASC)")
+      assert(!mine.exists(_._3 == q),
+        s"query $q: returned itself as a neighbour")
+    }
+    // replay one micro-batch directly through the foreachBatch body —
+    // at-least-once delivery means a retried batch must REPLACE
+    val (ivc, edges, hard) = Round7Final.graphArtifacts(spark, dir)
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val cb = KMeans.codebook(spark, e, KMeans.servingK(e), 2)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_greplay").toString
+    val batch = e.filter(col("vec_id") < 8)
+    Round7Final.serveGraphBatch(ivc, edges, hard, cb, out)(batch, 3L)
+    def snapshot(): Seq[Seq[Any]] = spark.read.parquet(s"$out/b3")
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+      .sortBy(_.mkString("|"))
+    val first = snapshot()
+    assert(first.nonEmpty, "batch produced no rows")
+    Round7Final.serveGraphBatch(ivc, edges, hard, cb, out)(batch, 3L)
+    val second = snapshot()
+    assert(second == first,
+      "replayed batch changed the output — sink is not idempotent")
+  }
+
   test("q237: compaction is fingerprint-identical to a fresh survivor " +
     "build and serving can never return a tombstoned id") {
     assume(available, s"$dir absent — skipping")
