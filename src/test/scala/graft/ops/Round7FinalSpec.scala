@@ -173,7 +173,7 @@ class Round7FinalSpec extends AnyFunSuite {
       val mine = rows.filter(_._1 == q).sortBy(_._2)
       assert(mine.map(_._2).toSeq == (1L to 10L),
         s"query $q: ranks must be exactly 1..10")
-      assert(mine.sliding(2).forall { case Seq(a, b) =>
+      assert(mine.sliding(2).forall { case Array(a, b) =>
         a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) },
         s"query $q: rank order must follow (exact DESC, vec_id ASC)")
       assert(!mine.exists(_._3 == q),
