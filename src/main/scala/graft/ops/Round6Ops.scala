@@ -647,7 +647,7 @@ object Round6Ops {
       // deterministic per-dir sink root, WIPED at query start — repeated
       // executions never accumulate artifacts (round-6 advice)
       val out = scratchDir(
-        s"graft_streamann_${Integer.toHexString(dir.hashCode)}")
+        s"graft_streamann_${VecIndex.dirDigest(dir)}")
       val q = qStream.writeStream.outputMode("append")
         .foreachBatch(serveBatch(lists, coarse, out) _)
         .start()
@@ -713,7 +713,7 @@ object Round6Ops {
       // ---- SERVE: fresh reads of the artifacts, nothing else ----
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = s.read.parquet(s"$idx/codes")
+      val codes = VecIndex.readCodes(s, idx)
       val wp = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("cid").asc)
       val probes = e.filter(col("vec_id") === 0)
@@ -824,7 +824,7 @@ object Round6Ops {
       else {
         val streamDir = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"),
-          s"graft_stream_emb_${Integer.toHexString(dir.hashCode)}")
+          s"graft_stream_emb_${VecIndex.dirDigest(dir)}")
         java.nio.file.Files.createDirectories(streamDir)
         val link = streamDir.resolve("embeddings.parquet")
         if (java.nio.file.Files.exists(link,

@@ -37,18 +37,18 @@ import graft.Tables
   */
 object Round7Final {
 
-  private val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
+  private[ops] val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
   private val SOFT = 2 // soft-assigned cells per vector (graph blocking)
   private val DEG = 6 // kNN-graph out-degree
-  private val BEAM = 4 // beam width per hop
-  private val HOPS = 3 // unrolled search depth
-  private val NPROBE = 2 // entry cells for the query
+  private[ops] val BEAM = 4 // beam width per hop
+  private[ops] val HOPS = 3 // unrolled search depth
+  private[ops] val NPROBE = 2 // entry cells for the query
   private val BEAMS = Seq(2, 4, 8) // q234's operating-curve widths
   private val L1MOD = 8 // q236: every 8th vector promotes to layer 1
   private val L1BEAM = 2 // q236: narrow beam for the layer-1 descent
   private val QB = 8 // q239: batched-curve query count (q217 style)
 
-  private val scaledD =
+  private[ops] val scaledD =
     "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
       "* 1000000 + 0.5) AS DOUBLE))"
 
@@ -66,7 +66,7 @@ object Round7Final {
     * on-disk graph was built from this exact corpus with these exact
     * knobs.
     */
-  private def marker(e: DataFrame): String = {
+  private def marker(e: DataFrame, extra: String = ""): String = {
     val r = e.select(col("vec_id"),
         expr("aggregate(transform(embedding, v -> CAST(FLOOR(CAST(v " +
           "AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), 0L, " +
@@ -76,7 +76,7 @@ object Round7Final {
           .as("fp"))
       .head()
     s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"soft":$SOFT,""" +
-      s""""deg":$DEG,"citers":$CITERS,"v":1}"""
+      s""""deg":$DEG,"citers":$CITERS$extra,"v":2}"""
   }
 
   /** The broadcastable one-row centroid array with DOUBLE-cast
@@ -115,15 +115,77 @@ object Round7Final {
         expr("CAST(array_dot(a.ivd, b.ivd) AS BIGINT)").as("w"))
 
   /** Degree cap: dedup + top-DEG selection fused into ONE shuffle keyed
-    * on src via a sorted collect_set slice — the same edges the
-    * oracle's DISTINCT + ROW_NUMBER chain yields.
+    * on src — the same edges the oracle's DISTINCT + ROW_NUMBER chain
+    * yields. Dedup is a partial-aggregatable (src, dst) groupBy (w is
+    * deterministic per pair, so max = the value), and the cap is a
+    * src-keyed row_number window: both stages SPILL on a hot cell
+    * where the former collect_set slice would hold O(SOFT·occupancy)
+    * structs per group in memory (round-7 verdict, What's wrong 3).
     */
-  private def topDeg(ew: DataFrame): DataFrame =
-    ew.groupBy(col("src"))
-      .agg(expr(s"slice(array_sort(collect_set(" +
-        s"struct(-w AS nw, dst))), 1, $DEG)").as("top"))
-      .select(col("src"),
-        explode(expr("transform(top, t -> t.dst)")).as("dst"))
+  private[graft] def topDeg(ew: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    ew.groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= DEG)
+      .select(col("src"), col("dst"))
+  }
+
+  // Persisted edges are PARTITIONED BY a src bucket (sb = src % SRCB)
+  // and hard assignments BY their cell, so a hop's broadcast join on
+  // (sb, src) — and an entry lookup's on acell — dynamic-partition-
+  // prunes the artifact scan to the frontier's buckets instead of
+  // re-reading the whole n·DEG file per hop (round-7 verdict, What's
+  // missing 1). SRCB bounds file count; at cluster scale it would ride
+  // the corpus size.
+  private[ops] val SRCB = 16L
+
+  /** Attach the edges partition bucket to a frame with a src column. */
+  private def withSb(df: DataFrame): DataFrame =
+    df.withColumn("sb", pmod(col("src"), lit(SRCB)))
+
+  /** Edges frames from non-partitioned builds (in-memory referees)
+    * get the bucket derived on the fly; partitioned reads keep theirs.
+    */
+  private def ensureSb(edges: DataFrame): DataFrame =
+    if (edges.columns.contains("sb")) edges else withSb(edges)
+
+  /** Read a bucket-partitioned edges artifact, restoring sb to BIGINT
+    * (partition-value inference reads it as INT).
+    */
+  private def readEdges(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).withColumn("sb", col("sb").cast("bigint"))
+
+  // (root, file) -> built-or-validated; the auxiliary-artifact memo
+  // for persisted REFEREES (q235's full rebuild, q237's fresh survivor
+  // build). A referee is deterministic in (corpus, geometry), so it is
+  // an artifact like any other: computing it on every run made the
+  // lifecycle gates time the proof instead of the operation (round-7
+  // verdict, What's wrong 4).
+  private val builtAux =
+    scala.collection.mutable.Map.empty[(String, String), Unit]
+
+  /** Marker-gated persisted edges artifact `<root>/<file>`: build and
+    * write (bucket-partitioned) only when the stored marker mismatches
+    * `expect`; otherwise serve from the files.
+    */
+  private def persistedEdges(
+      s: SparkSession, root: String, file: String, expect: String)(
+      build: => DataFrame): DataFrame = {
+    builtAux.synchronized {
+      builtAux.getOrElseUpdate((root, file), {
+        val mk = java.nio.file.Paths.get(root, s"_meta_$file.json")
+        val fresh = java.nio.file.Files.exists(mk) &&
+          java.nio.file.Files.readString(mk) == expect
+        if (!fresh) {
+          withSb(build).write.mode("overwrite").partitionBy("sb")
+            .parquet(s"$root/$file")
+          java.nio.file.Files.writeString(mk, expect)
+        }
+      })
+    }
+    readEdges(s, s"$root/$file")
+  }
 
   /** The kNN-graph artifacts for the corpus at `dir`: `ivc` (the
     * fixed-point vector table, a map-only scan), `edges` (the
@@ -138,7 +200,7 @@ object Round7Final {
     val path = builtGraph.synchronized {
       builtGraph.getOrElseUpdate(dir, {
         val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_knngraph_${Integer.toHexString(dir.hashCode)}").toString
+          s"graft_knngraph_${VecIndex.dirDigest(dir)}").toString
         val mk = java.nio.file.Paths.get(p, "_meta.json")
         val expect = marker(e)
         val fresh = java.nio.file.Files.exists(mk) &&
@@ -146,20 +208,25 @@ object Round7Final {
         if (!fresh) {
           val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
           val soft = softOf(e, centsRowOf(cb))
-          topDeg(pairsOf(soft, soft))
-            .write.mode("overwrite").parquet(s"$p/edges")
-          // crank 0 IS the hard assignment — persisted for the
-          // entry-point lookup, no serve-time corpus-wide assign pass
+          withSb(topDeg(pairsOf(soft, soft)))
+            .write.mode("overwrite").partitionBy("sb")
+            .parquet(s"$p/edges")
+          // crank 0 IS the hard assignment — persisted cell-partitioned
+          // for the entry-point lookup, no serve-time corpus-wide
+          // assign pass, and the probe join prunes to the probed cells
           soft.filter(col("crank") === 0)
             .select(col("vec_id"), col("acell"))
-            .write.mode("overwrite").parquet(s"$p/hard")
+            .write.mode("overwrite").partitionBy("acell")
+            .parquet(s"$p/hard")
           java.nio.file.Files.writeString(mk, expect)
         }
         p
       })
     }
     (e.select(col("vec_id"), expr(scaledD).as("ivd")),
-      s.read.parquet(s"$path/edges"), s.read.parquet(s"$path/hard"))
+      readEdges(s, s"$path/edges"),
+      s.read.parquet(s"$path/hard")
+        .withColumn("acell", col("acell").cast("bigint")))
   }
 
   /** Runs the unrolled beam search for query-0 over the shared graph
@@ -220,11 +287,22 @@ object Round7Final {
           expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= beam).select(col("qid"), col("vec_id"))
+    val eb = ensureSb(edges)
     var visited = pin(entries)
     for (_ <- 1 to hops) {
-      val nbrs = edges
-        .join(broadcast(topB(visited).withColumnRenamed("vec_id", "src")),
-          Seq("src"))
+      // the frontier is ≤ Q·beam rows BY CONSTRUCTION — collected to
+      // the driver (the coordinator-resident frontier every graph-ANN
+      // server keeps), so the hop join broadcasts a LOCAL relation and
+      // the bucket filter STATICALLY prunes the partitioned edges scan
+      // to the frontier's buckets
+      val frQ = topB(visited)
+      val frRows = frQ.collect()
+      val frDf = s.createDataFrame(
+          java.util.Arrays.asList(frRows: _*), frQ.schema)
+        .withColumnRenamed("vec_id", "src")
+      val buckets = frRows.map(_.getLong(1) % SRCB).distinct.toSeq
+      val nbrs = eb.filter(col("sb").isin(buckets: _*))
+        .join(broadcast(frDf), Seq("src"))
         .select(col("qid"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("qid"))
       visited = pin(visited.union(nbrs).distinct())
@@ -242,38 +320,74 @@ object Round7Final {
       ivc: DataFrame, edges: DataFrame, hard: DataFrame, cb: DataFrame,
       out: String)(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val bs = batch.sparkSession
-      graft.functions.ArrayDot.register(bs)
-      val qb = batch.select(col("vec_id").as("qid"),
-        expr(scaledD).as("qiv"))
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val probesb = batch
-        .select(col("vec_id").as("qid"), col("embedding"))
-        .crossJoin(broadcast(cb))
-        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= NPROBE)
-        .select(col("qid"), col("cid"))
-      val entries = hard
-        .join(broadcast(probesb), col("acell") === col("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("acell"))
-        .agg(min(col("vec_id")).as("vec_id"))
-        .select(col("qid"), col("vec_id")).distinct()
-      val visited = beamFromBatch(bs, ivc, edges, entries, qb, BEAM, HOPS)
-      val wk = Window.partitionBy(col("qid"))
-        .orderBy(col("exact").desc, col("vec_id").asc)
-      ivc.join(broadcast(visited), Seq("vec_id"))
-        .join(broadcast(qb), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
-        .withColumn("krn", row_number().over(wk))
-        .filter(col("krn") <= 10)
-        .select(col("qid"), col("krn").cast("bigint").as("rank"),
-          col("vec_id"), col("exact"))
+      serveGraphFrame(ivc, edges, hard, cb, batch)
         .write.mode("overwrite").parquet(s"$out/b$batchId")
     }
+  }
+
+  /** The batch-side serving transformation one q240 micro-batch runs —
+    * separated from the sink write so the plan audit can assert its
+    * shapes (qid-partitioned windows, broadcast frontiers) directly.
+    */
+  private[graft] def serveGraphFrame(
+      ivc: DataFrame, edges: DataFrame, hard: DataFrame, cb: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val bs = batch.sparkSession
+    graft.functions.ArrayDot.register(bs)
+    val qb = batch.select(col("vec_id").as("qid"),
+      expr(scaledD).as("qiv"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probesb = batch
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NPROBE)
+      .select(col("qid"), col("cid"))
+    val entries = hard
+      .join(broadcast(probesb), col("acell") === col("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("acell"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val visited = beamFromBatch(bs, ivc, edges, entries, qb, BEAM, HOPS)
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+    ivc.join(broadcast(visited), Seq("vec_id"))
+      .join(broadcast(qb), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
+      .withColumn("krn", row_number().over(wk))
+      .filter(col("krn") <= 10)
+      .select(col("qid"), col("krn").cast("bigint").as("rank"),
+        col("vec_id"), col("exact"))
+  }
+
+  /** One un-pinned hop join over the persisted bucket-partitioned
+    * edges artifact with a bounded literal frontier — the audit entry
+    * point for asserting the scan dynamic-partition-prunes to the
+    * frontier's buckets (checkpoint pinning hides the hop joins in
+    * every gate's own executed plan).
+    */
+  private[graft] def hopPlanFor(s: SparkSession, dir: String): DataFrame = {
+    val (_, edges, _) = graphArtifacts(s, dir)
+    val fr = s.range(1).select(col("id").as("src"))
+    edges.filter(col("sb").isin(Seq(1L % SRCB): _*))
+      .join(broadcast(fr), Seq("src"))
+  }
+
+  /** The q240 serving plan over the standard 8-query batch drawn from
+    * the corpus at `dir` — the audit entry point PlanAuditSpec uses
+    * (the gate's own returned frame is just the sink read; the shapes
+    * that matter live inside the micro-batch body).
+    */
+  private[graft] def q240ServeFrame(
+      s: SparkSession, dir: String): DataFrame = {
+    val (ivc, edges, hard) = graphArtifacts(s, dir)
+    val e = Tables.table(s, dir, "embeddings")
+    val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+    serveGraphFrame(ivc, edges, hard, cb, e.filter(col("vec_id") < QB))
   }
 
   /** The hop loop itself, from an arbitrary bounded entry frame —
@@ -301,11 +415,19 @@ object Round7Final {
     // checkpointing it keeps every later consumer (next hop's beam,
     // the final scoring, n_visited) from re-executing the whole
     // union-of-hops lineage inside its broadcast subplan
+    val eb = ensureSb(edges)
     var visited = pin(entries)
     for (_ <- 1 to hops) {
-      val nbrs = edges
-        .join(broadcast(topB(visited).withColumnRenamed("vec_id", "src")),
-          Seq("src"))
+      // bounded frontier collected to the driver: local-relation
+      // broadcast + static bucket pruning of the partitioned scan
+      val frQ = topB(visited)
+      val frRows = frQ.collect()
+      val frDf = s.createDataFrame(
+          java.util.Arrays.asList(frRows: _*), frQ.schema)
+        .withColumnRenamed("vec_id", "src")
+      val buckets = frRows.map(_.getLong(0) % SRCB).distinct.toSeq
+      val nbrs = eb.filter(col("sb").isin(buckets: _*))
+        .join(broadcast(frDf), Seq("src"))
         .select(col("dst").as("vec_id"))
         .filter(col("vec_id") =!= 0)
       visited = pin(visited.union(nbrs).distinct())
@@ -344,7 +466,7 @@ object Round7Final {
     * `v0` (entry points) and `tope` (the full-scan exact top-10
     * referee).
     */
-  private def graphPrefixSql: String =
+  private[ops] def graphPrefixSql: String =
     s"""${KMeans.kkCte()},
        |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
        |ivc AS MATERIALIZED (
@@ -679,21 +801,23 @@ object Round7Final {
       val p = builtIncGraph.synchronized {
         builtIncGraph.getOrElseUpdate(dir, {
           val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-            s"graft_knngraphinc_${Integer.toHexString(dir.hashCode)}")
+            s"graft_knngraphinc_${VecIndex.dirDigest(dir)}")
             .toString
           val mk = java.nio.file.Paths.get(root, "_meta.json")
-          val expect = marker(base)
+          // the v1 graph additionally depends on the 80/20 base split
+          val expect = marker(base, s""","split":"mod10lt8"""")
           val fresh = java.nio.file.Files.exists(mk) &&
             java.nio.file.Files.readString(mk) == expect
           if (!fresh) {
-            topDeg(pairsOf(softB, softB))
-              .write.mode("overwrite").parquet(s"$root/edges_v1")
+            withSb(topDeg(pairsOf(softB, softB)))
+              .write.mode("overwrite").partitionBy("sb")
+              .parquet(s"$root/edges_v1")
             java.nio.file.Files.writeString(mk, expect)
           }
           root
         })
       }
-      val edgesV1 = s.read.parquet(s"$p/edges_v1")
+      val edgesV1 = readEdges(s, s"$p/edges_v1")
       // ---- ingest: touched cells -> recomputed sources ----
       val touched = softD.select(col("acell")).distinct()
       val rsrc = softB.join(broadcast(touched), Seq("acell"))
@@ -704,11 +828,16 @@ object Round7Final {
       val edgesInc = edgesV1
         .join(rsrc.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
-        .unionByName(edgesRec)
-      edgesInc.write.mode("overwrite").parquet(s"$p/edges_v2")
-      val edgesServe = s.read.parquet(s"$p/edges_v2")
+        .unionByName(withSb(edgesRec))
+      edgesInc.write.mode("overwrite").partitionBy("sb")
+        .parquet(s"$p/edges_v2")
+      val edgesServe = readEdges(s, s"$p/edges_v2")
       // ---- referee: full rebuild with the SAME base-trained codebook
-      val edgesFull = topDeg(pairsOf(soft, soft))
+      // — deterministic in (corpus, geometry), so PERSISTED like any
+      // artifact: steady-state runs time the INGEST, not the proof
+      val edgesFull = persistedEdges(s, p, "edges_full",
+        marker(e, s""","split":"mod10lt8","ref":"full""""))(
+        topDeg(pairsOf(soft, soft)))
       val dd = fpEdges(edgesServe)
         .select(col("nr").as("ni"), col("fp").as("fi"))
         .crossJoin(broadcast(fpEdges(edgesFull)
@@ -798,23 +927,26 @@ object Round7Final {
       val p = builtHier.synchronized {
         builtHier.getOrElseUpdate(dir, {
           val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-            s"graft_knngraphl1_${Integer.toHexString(dir.hashCode)}")
+            s"graft_knngraphl1_${VecIndex.dirDigest(dir)}")
             .toString
           val mk = java.nio.file.Paths.get(root, "_meta.json")
-          val expect = marker(e)
+          // the layer-1 graph additionally depends on the promotion
+          // modulus — changing L1MOD must invalidate persisted edges_l1
+          val expect = marker(e, s""","l1mod":$L1MOD""")
           val fresh = java.nio.file.Files.exists(mk) &&
             java.nio.file.Files.readString(mk) == expect
           if (!fresh) {
             val soft1 = softOf(e, centsRowOf(cb))
               .filter(col("vec_id") % L1MOD === 1)
-            topDeg(pairsOf(soft1, soft1))
-              .write.mode("overwrite").parquet(s"$root/edges_l1")
+            withSb(topDeg(pairsOf(soft1, soft1)))
+              .write.mode("overwrite").partitionBy("sb")
+              .parquet(s"$root/edges_l1")
             java.nio.file.Files.writeString(mk, expect)
           }
           root
         })
       }
-      val edges1 = s.read.parquet(s"$p/edges_l1")
+      val edges1 = readEdges(s, s"$p/edges_l1")
       val entry0 = e.filter(col("vec_id") % L1MOD === 1)
         .agg(min(col("vec_id")).cast("bigint").as("vec_id"))
       val vis1 = beamFrom(s, ivc, edges1, entry0, L1BEAM, HOPS)
@@ -944,11 +1076,17 @@ object Round7Final {
       edges.join(tombSrc, Seq("src"), "left_anti")
         .join(rsv.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
-        .unionByName(edgesRec)
-        .write.mode("overwrite").parquet(s"$root/edges_v2c")
-      val edgesC = s.read.parquet(s"$root/edges_v2c")
-      // ---- REFEREE: fresh build over the survivors, same codebook
-      val edgesFresh = topDeg(pairsOf(softS, softS))
+        .unionByName(withSb(edgesRec))
+        .write.mode("overwrite").partitionBy("sb")
+        .parquet(s"$root/edges_v2c")
+      val edgesC = readEdges(s, s"$root/edges_v2c")
+      // ---- REFEREE: fresh build over the survivors, same codebook —
+      // persisted (tombstone rule is a constant, so the survivor set
+      // is deterministic in the corpus): steady-state runs time the
+      // DELETE+COMPACT, not the proof
+      val edgesFresh = persistedEdges(s, root, "edges_fresh",
+        marker(e, s""","tomb":"mod7eq3","ref":"fresh""""))(
+        topDeg(pairsOf(softS, softS)))
       val dd = fpEdges(edgesC)
         .select(col("nr").as("nc"), col("fp").as("fc"))
         .crossJoin(broadcast(fpEdges(edgesFresh)
@@ -1098,7 +1236,7 @@ object Round7Final {
       val qStream = Round6Ops.embStream(s, dir)
         .filter(col("vec_id") < QB)
       val out = Round6Ops.scratchDir(
-        s"graft_streamgraph_${Integer.toHexString(dir.hashCode)}")
+        s"graft_streamgraph_${VecIndex.dirDigest(dir)}")
       val q = qStream.writeStream.outputMode("append")
         .foreachBatch(serveGraphBatch(ivc, edges, hard, cb, out) _)
         .start()

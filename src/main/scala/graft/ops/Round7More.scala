@@ -163,7 +163,8 @@ object Round7More {
          |  LEAST((SELECT k FROM kk),
          |    ($NPROBE * (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
          |      + (SELECT CAST(COUNT(*) AS BIGINT) FROM elig) - 1)
-         |      // (SELECT CAST(COUNT(*) AS BIGINT) FROM elig))
+         |      // GREATEST((SELECT CAST(COUNT(*) AS BIGINT) FROM elig),
+         |        1))
          |    AS nprobe_f),
          |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
          |  FROM embeddings WHERE vec_id = 0),
@@ -204,7 +205,7 @@ object Round7More {
       val idx = VecIndex.artifacts(s, dir, "full", e)
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = s.read.parquet(s"$idx/codes")
+      val codes = VecIndex.readCodes(s, idx)
       // the eligible-id relation: the lang predicate pushes to the
       // documents scan; the id projection prunes every other column
       val elig = d.filter(col("lang") === LANG)
@@ -217,7 +218,11 @@ object Round7More {
             .agg(count(lit(1)).cast("bigint").as("n_eligible"))))
         .select(col("n_eligible"),
           least(lit(ck.toLong),
-            expr(s"($NPROBE * n_tot + n_eligible - 1) div n_eligible"))
+            // GREATEST guard: zero eligible docs must yield a clean
+            // nprobe_f = ck (probe all, zero candidates) in BOTH
+            // engines, not a NULL `div` that silently drops every probe
+            expr(s"($NPROBE * n_tot + n_eligible - 1) div " +
+              "GREATEST(n_eligible, 1L)"))
             .as("nprobe_f"))
       val wp = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("cid").asc)
@@ -289,23 +294,23 @@ object Round7More {
       // pointwise, so the split cannot show through) ----
       val newb0 = e.filter(col("vec_id") % 10 >= 8)
       val src = Round6Ops.scratchDir(
-        s"graft_streamingest_src_${Integer.toHexString(dir.hashCode)}")
+        s"graft_streamingest_src_${VecIndex.dirDigest(dir)}")
       newb0.repartition(2).write.mode("overwrite").parquet(src)
       val newStream = s.readStream.schema(newb0.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val out = Round6Ops.scratchDir(
-        s"graft_streamingest_${Integer.toHexString(dir.hashCode)}")
+        s"graft_streamingest_${VecIndex.dirDigest(dir)}")
       val q = newStream.writeStream.outputMode("append")
         .foreachBatch(ingestBatch(coarse, cbRow, out) _)
         .start()
       try q.processAllAvailable() finally q.stop()
-      val baseCodes = s.read.parquet(s"$idx/codes")
+      val baseCodes = VecIndex.readCodes(s, idx)
       val deltas = new java.io.File(out).listFiles()
       val inc =
         if (deltas == null || deltas.isEmpty) baseCodes
         else baseCodes.unionByName(s.read.parquet(s"$out/b*"))
       val newb = e.filter(col("vec_id") % 10 >= 8)
-      Round7Ops.ingestServe(e, newb, coarse, cbRow, inc)
+      Round7Ops.ingestServe(e, newb, coarse, cbRow, inc, idx)
     },
 
     // E7: TWO-STAGE ADC + EXACT REFINE — the standard quantized-index
@@ -341,7 +346,7 @@ object Round7More {
       val idx = VecIndex.artifacts(s, dir, "full", e)
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = s.read.parquet(s"$idx/codes")
+      val codes = VecIndex.readCodes(s, idx)
       val (cand, scored, q0) = serveCandidates(e, coarse, cbRow, codes)
       // stage 1: ADC top-C from stored codes alone
       val topC = scored.orderBy(col("adc").desc, col("vec_id").asc)
@@ -404,7 +409,7 @@ object Round7More {
       val idx = VecIndex.artifacts(s, dir, "full", e)
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = s.read.parquet(s"$idx/codes")
+      val codes = VecIndex.readCodes(s, idx)
       val (_, scored, _) = serveCandidates(e, coarse, cbRow, codes)
       val srcs = d.select(col("doc_id").as("vec_id"), col("source"))
       val ws = Window.partitionBy(col("source"))

@@ -140,18 +140,47 @@ object Round7Ops {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc c, nn n, dd d
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin
 
+  // (root, file) -> built-or-validated: persisted code REFEREES. A
+  // referee re-encode is deterministic in (corpus, codebooks), so it
+  // is an artifact — recomputing it per run made the lifecycle gates
+  // time the proof, not the operation (round-7 verdict, What's
+  // wrong 4).
+  private val builtRef =
+    scala.collection.mutable.Map.empty[(String, String), Unit]
+
+  /** Marker-gated persisted referee codes `<root>/<file>`. */
+  private def persistedCodes(
+      s: org.apache.spark.sql.SparkSession, root: String, file: String,
+      expect: String)(build: => DataFrame): DataFrame = {
+    builtRef.synchronized {
+      builtRef.getOrElseUpdate((root, file), {
+        val mk = java.nio.file.Paths.get(root, s"_meta_$file.json")
+        val fresh = java.nio.file.Files.exists(mk) &&
+          java.nio.file.Files.readString(mk) == expect
+        if (!fresh) {
+          build.write.mode("overwrite").parquet(s"$root/$file")
+          java.nio.file.Files.writeString(mk, expect)
+        }
+      })
+    }
+    s.read.parquet(s"$root/$file")
+  }
+
   /** Referee + serve over an INGESTED index `inc` (base codes ∪ delta
     * generations): fingerprint-compare against a full re-encode of the
     * union corpus, then serve query 0 from the ingested codes with the
     * exact-top-10 referee. Shared by q225 (batch ingest) and q229
     * (streaming ingest) — both must produce the identical result.
+    * `refRoot` hosts the persisted referee re-encode.
     */
   private[ops] def ingestServe(
       e: DataFrame, newb: DataFrame, coarse: DataFrame,
-      cbRow: DataFrame, inc: DataFrame): DataFrame = {
+      cbRow: DataFrame, inc: DataFrame, refRoot: String): DataFrame = {
     // ---- REFEREE: full re-encode of the union corpus (same
-    // codebooks) must be row-identical to the ingested index ----
-    val rebuild = Pq.pqEncode(KMeans.assign(e, coarse), cbRow)
+    // codebooks), persisted — steady state times the INGEST ----
+    val rebuild = persistedCodes(e.sparkSession, refRoot,
+      "codes_ref_union", VecIndex.corpusMarker(e, 0))(
+      Pq.pqEncode(KMeans.assign(e, coarse), cbRow))
     val dd = fpOf(inc)
       .select(col("nr").as("ni"), col("fp").as("fi"))
       .crossJoin(broadcast(fpOf(rebuild)
@@ -226,9 +255,9 @@ object Round7Ops {
       // broadcast artifacts, append as a delta generation ----
       Pq.pqEncode(KMeans.assign(newb, coarse), cbRow)
         .write.mode("overwrite").parquet(s"$idx/codes_delta")
-      val inc = s.read.parquet(s"$idx/codes")
+      val inc = VecIndex.readCodes(s, idx)
         .unionByName(s.read.parquet(s"$idx/codes_delta"))
-      ingestServe(e, newb, coarse, cbRow, inc)
+      ingestServe(e, newb, coarse, cbRow, inc, idx)
     },
 
     // E7: the BATCH-AVERAGED probe operating curve — q222 generalized
@@ -430,7 +459,7 @@ object Round7Ops {
       val idx = VecIndex.artifacts(s, dir, "full", e)
       val coarse = s.read.parquet(s"$idx/coarse")
       val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = s.read.parquet(s"$idx/codes")
+      val codes = VecIndex.readCodes(s, idx)
       // ---- DELETE: tombstone ledger written next to the index ----
       e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
         .write.mode("overwrite").parquet(s"$idx/tombstones")
@@ -440,9 +469,12 @@ object Round7Ops {
         .write.mode("overwrite").parquet(s"$idx/codes_v2")
       val codesV2 = s.read.parquet(s"$idx/codes_v2")
       // ---- REFEREE: fresh encode of the surviving corpus with the
-      // same codebooks must fingerprint-match generation v2 ----
-      val fresh = Pq.pqEncode(
-        KMeans.assign(e.filter(col("vec_id") % 7 =!= 3), coarse), cbRow)
+      // same codebooks must fingerprint-match generation v2 —
+      // persisted (the tombstone rule is a constant, so the survivor
+      // set is deterministic in the corpus) ----
+      val fresh = persistedCodes(s, idx, "codes_ref_surv",
+        VecIndex.corpusMarker(e, 0))(Pq.pqEncode(
+        KMeans.assign(e.filter(col("vec_id") % 7 =!= 3), coarse), cbRow))
       val dd = fpOf(codesV2)
         .select(col("nr").as("nv"), col("fp").as("fv"))
         .crossJoin(broadcast(fpOf(fresh)

@@ -146,7 +146,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q238's best-match window must stay PARTITIONED BY val_doc
     "q238_split_leakage_audit",
     // q239's per-hop beams and both referees window PARTITION BY qid
-    "q239_batched_beam_curve")
+    "q239_batched_beam_curve",
+    // q240's returned frame is the sink read (orderBy only); the
+    // serving shapes inside the micro-batch body are audited in the
+    // dedicated q240 test below
+    "q240_stream_graph_search")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -256,7 +260,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q238_split_leakage_audit",
       // q239: the query batch, per-hop frontiers, and probe cells all
       // ride broadcasts into the batched hop joins
-      "q239_batched_beam_curve")
+      "q239_batched_beam_curve",
+      // q241: the ADC-ranked candidate set, PQ codebooks, and query
+      // vector all ride broadcasts; raw vectors join only for the
+      // bounded exact refine
+      "q241_graph_pq_serve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
@@ -362,5 +370,70 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(tp.collect { case w: WindowExec => w }.nonEmpty,
       "q211: expected a window in the top-k stage")
+  }
+
+  test("topDeg caps degree through a src-keyed window, never a " +
+    "single-partition collapse (the graph build path behind the " +
+    "q233-q240 artifact markers)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ew = Seq((1L, 2L, 10L), (1L, 3L, 9L), (2L, 1L, 8L))
+      .toDF("src", "dst", "w")
+    val tp = graft.ops.Round7Final.topDeg(ew).queryExecution.executedPlan
+    val wins = tp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "topDeg: expected the row_number cap window")
+    wins.foreach { w =>
+      feedingExchange(w.child).foreach { e =>
+        assert(e.outputPartitioning != SinglePartition,
+          "topDeg: cap window collapsed to a single partition")
+      }
+    }
+  }
+
+  test("partitioned artifact serve scans dynamic-partition-prune to " +
+    "the frontier's buckets (edges) and the probed cells (codes)") {
+    checkEnv()
+    // the graph hop: edges is bucket-partitioned by sb and the
+    // driver-resident frontier's bucket set lands as a STATIC IN
+    // partition filter on the scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    val hop = graft.ops.Round7Final.hopPlanFor(spark, dir)
+      .queryExecution.executedPlan
+    val scans = hop.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "edges hop plan lost its file scan")
+    // the frontier's bucket set must land as a real partition filter
+    // (IN / = on sb) — isnotnull alone means the scan reads every
+    // bucket. (A single-bucket IN folds to EqualTo, so assert "any
+    // value filter", not the In shape.)
+    assert(scans.exists(f => f.partitionFilters.exists {
+      case _: IsNotNull => false
+      case _            => true
+    }), s"edges hop scan lost its static bucket partition filter: " +
+      scans.map(_.partitionFilters).mkString("; "))
+    // the IVF probe: codes is partitioned by cid; q224's serve joins
+    // the broadcast probe set against it
+    val f = formatted("q224_persisted_index_serve").toLowerCase
+    assert(f.contains("dynamicpruning"),
+      "q224 codes probe join lost its dynamic partition pruning")
+  }
+
+  test("q240 micro-batch serving plan broadcasts its frontiers and " +
+    "keeps every window partitioned by qid (the shapes behind the sink)") {
+    checkEnv()
+    // the gate's returned frame is just the batchId-keyed sink read;
+    // the plan that matters is the transformation one micro-batch runs
+    val served = graft.ops.Round7Final.q240ServeFrame(spark, dir)
+    val sp = served.queryExecution.executedPlan
+    assert(sp.toString.contains("BroadcastExchange"),
+      "q240: serving frame lost its broadcast frontiers")
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "q240: expected the qid-keyed top-k window")
+    wins.foreach { w =>
+      feedingExchange(w.child).foreach { e =>
+        assert(e.outputPartitioning != SinglePartition,
+          "q240: serving window collapsed to a single partition")
+      }
+    }
   }
 }
