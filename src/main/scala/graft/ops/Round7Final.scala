@@ -511,7 +511,7 @@ object Round7Final {
     * IVF-probed `v0`); neighbors come from the `edges` CTE (default
     * the layer-0 graph — q236's layer-1 chain passes its own).
     */
-  private def hopChainSql(beam: Int, tag: String,
+  private[ops] def hopChainSql(beam: Int, tag: String,
       edges: String = "edges", entry: String = "v0"): String =
     (1 to HOPS).map { i =>
       val p = i - 1

@@ -5,26 +5,37 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-8: graph serving over STORED PQ codes — the HNSW+PQ
-  * composition (round-7 verdict task 6), the one serving shape of the
-  * quantized-index family not yet demonstrated.
+/** Round-8: the serving shapes that complete the index family for a
+  * production retrieval stack.
   *
-  * q233's beam search ranked hop frontiers with full fixed-point
-  * vectors; a production graph index over a 100 TB corpus cannot
-  * afford the raw vectors on the serve path — it ranks the beam by
-  * ASYMMETRIC DISTANCE (ADC) over the M-byte stored codes (q207's
-  * discipline inside the hop loop) and touches true vectors only for
-  * the final exact refine of top-C (q230's discipline). Both persisted
-  * artifact families compose unchanged: the kNN-graph edges
-  * (Round7Final, bucket-partitioned) supply the hops, the VecIndex
-  * codes supply the ranking payload, and the broadcast PQ codebooks
-  * turn each rank into a bounded integer-dot map stage.
+  *  - q241 HNSW+PQ: q233's beam search ranked hop frontiers with full
+  *    fixed-point vectors; a 100 TB graph index cannot afford raw
+  *    vectors on the serve path — it ranks the beam by ASYMMETRIC
+  *    DISTANCE (ADC) over the M-byte stored codes (q207's discipline
+  *    inside the hop loop) and touches true vectors only for the
+  *    final exact refine of top-C (q230's discipline).
+  *  - q242 FILTERED GRAPH ANN: the metadata-filtered query ("nearest
+  *    English docs") on the graph tier — q228's post-filter strategy:
+  *    search with a WIDENED beam, filter the bounded visited set by
+  *    eligibility, referee against the exact top-10 of the eligible
+  *    corpus only.
+  *  - q243 RANK-MODE CURVE: the in-band measurement of what PQ costs
+  *    the graph tier — the same graph walked twice, hops ranked by
+  *    exact dots vs stored-code ADC, reporting visited size and
+  *    brute-force-top-10 recall per mode.
+  *  - q244 GENERATION SWAP: blue/green index deployment — generation
+  *    v1 (base corpus) and v2 (full corpus) are both persisted
+  *    artifact roots; v2 is VALIDATED (code count == corpus size),
+  *    the `current.json` pointer is flipped ATOMICALLY (temp file +
+  *    atomic move — a crashed swap leaves the old pointer intact),
+  *    and serving reads THROUGH the pointer.
   *
-  * Scale shape: per hop, the candidate set is ≤ beam·DEG rows joined
-  * broadcast against the code table; ADC is exact BIGINT arithmetic
-  * (hash-identical across engines); the raw-vector table is read for
-  * exactly PQC rows at the end. The exact top-10 referee (`in_exact`)
-  * stays the measurement harness.
+  * Scale shape: every hop candidate set is ≤ beam·DEG rows; frontiers
+  * are driver-resident (≤ beam rows by construction) and land as
+  * static bucket partition filters on the edges scan; ADC resolves
+  * from broadcast codebooks; raw vectors are read for the bounded
+  * refine/referee only. All scores are exact BIGINT arithmetic —
+  * hash-identical across engines.
   *
   * Reference scope: the reference (PalNilsson/ask-duckdb) has no
   * vector index; this family is part of the training-data-pipeline
@@ -32,27 +43,98 @@ import graft.Tables
   */
 object Round8Ops {
 
-  private val PQC = 16 // exact-refine width after the ADC-ranked beam
+  private val PQC = 16 // q241: exact-refine width after the ADC beam
+  private val FW = 8 // q242: widened beam under the metadata filter
+  private val LANG = "en" // q242's metadata predicate
+  private val GNPROBE = 2 // q244: probe width of the pointed serve
 
-  /** The unrolled ADC-ranked hop chain: `fq<i>` is hop i's beam —
-    * ranked by stored-code ADC, NOT the exact dot — and `v<i+1>g` the
-    * expanded visited set (same expansion as Round7Final.hopChainSql).
+  // ---------------- shared Spark-side machinery ----------------------
+
+  private def pin(s: SparkSession)(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    s.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** IVF-probed entry points over the persisted hard assignments —
+    * q233's v0 (min vec_id per probed cell).
     */
-  private def adcHopChain: String =
+  private def entriesOf(
+      e: DataFrame, cb: DataFrame, hard: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Round7Final.NPROBE).select(col("cid"))
+    hard.join(broadcast(probes), col("acell") === col("cid"))
+      .filter(col("vec_id") =!= 0)
+      .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).distinct()
+  }
+
+  /** The hop loop with a pluggable frontier ranking: each hop's
+    * bounded frontier (`topB(visited)`, ≤ beam rows BY CONSTRUCTION)
+    * is collected to the driver — the coordinator-resident frontier of
+    * a graph-ANN server — so the hop join broadcasts a LOCAL relation
+    * and the bucket set statically prunes the partitioned edges scan.
+    */
+  private def beamLoop(
+      s: SparkSession, edges: DataFrame, entries: DataFrame,
+      topB: DataFrame => DataFrame): DataFrame = {
+    var visited = pin(s)(entries)
+    for (_ <- 1 to Round7Final.HOPS) {
+      val frQ = topB(visited)
+      val frRows = frQ.collect()
+      val frDf = s.createDataFrame(
+          java.util.Arrays.asList(frRows: _*), frQ.schema)
+        .withColumnRenamed("vec_id", "src")
+      val buckets = frRows.map(_.getLong(0) % Round7Final.SRCB)
+        .distinct.toSeq
+      val nbrs = edges.filter(col("sb").isin(buckets: _*))
+        .join(broadcast(frDf), Seq("src"))
+        .select(col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= 0)
+      visited = pin(s)(visited.union(nbrs).distinct())
+    }
+    visited
+  }
+
+  // ---------------- shared oracle machinery ---------------------------
+
+  /** The unrolled ADC-ranked hop chain (`fa<i><tag>` beams ranked from
+    * the `adcall` CTE, `va<i><tag>` visited sets) — Round7Final
+    * .hopChainSql with stored-code ADC in place of the exact dot.
+    */
+  private def adcHopChain(beam: Int, tag: String): String =
     (1 to Round7Final.HOPS).map { i =>
       val p = i - 1
-      val prev = if (p == 0) "v0" else s"v${p}g"
-      s"""fq$p AS (SELECT f.vec_id FROM $prev f
+      val prev = if (p == 0) "v0" else s"va$p$tag"
+      s"""fa$p$tag AS (SELECT f.vec_id FROM $prev f
          |  JOIN adcall a ON a.vec_id = f.vec_id
          |  ORDER BY a.adc DESC, f.vec_id ASC
-         |  LIMIT ${Round7Final.BEAM}),
-         |v${i}g AS MATERIALIZED (
+         |  LIMIT $beam),
+         |va$i$tag AS MATERIALIZED (
          |  SELECT vec_id FROM $prev
          |  UNION
-         |  SELECT e.dst AS vec_id FROM fq$p f
+         |  SELECT e.dst AS vec_id FROM fa$p$tag f
          |  JOIN edges e ON e.src = f.vec_id WHERE e.dst <> 0)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** The stored-code ADC table over every corpus vector: PQ chains +
+    * per-vector code CTEs + the codeword-resolved ADC sum. Exposes
+    * `adcall(vec_id, adc)`; expects `hard` and `ivc` from
+    * graphPrefixSql.
+    */
+  private def adcAllSql: String =
+    s"""${Pq.pqChains},
+       |${Pq.pqCodeEncs("embeddings", "_g")},
+       |${Pq.duckCodesCte("codesg", "hard", "_g")},
+       |qvq AS (SELECT iv AS qs FROM ivc WHERE vec_id = 0),
+       |adcall AS MATERIALIZED (
+       |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc
+       |  FROM codesg v
+       |  ${Pq.duckAdcJoins}, qvq q)""".stripMargin
 
   val queries: Seq[Q] = Seq(
     // E7: HNSW+PQ — beam search over the persisted graph with hop
@@ -62,17 +144,10 @@ object Round8Ops {
     Q(
       "q241_graph_pq_serve",
       s"""WITH ${Round7Final.graphPrefixSql},
-         |${Pq.pqChains},
-         |${Pq.pqCodeEncs("embeddings", "_g")},
-         |${Pq.duckCodesCte("codesg", "hard", "_g")},
-         |qvq AS (SELECT iv AS qs FROM ivc WHERE vec_id = 0),
-         |adcall AS MATERIALIZED (
-         |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc
-         |  FROM codesg v
-         |  ${Pq.duckAdcJoins}, qvq q),
-         |$adcHopChain,
+         |$adcAllSql,
+         |${adcHopChain(Round7Final.BEAM, "")},
          |cand AS (
-         |  SELECT a.vec_id, a.adc FROM v${Round7Final.HOPS}g s
+         |  SELECT a.vec_id, a.adc FROM va${Round7Final.HOPS} s
          |  JOIN adcall a ON a.vec_id = s.vec_id
          |  ORDER BY a.adc DESC, a.vec_id ASC LIMIT $PQC),
          |ref AS (
@@ -95,22 +170,6 @@ object Round8Ops {
       val cbRow = s.read.parquet(s"$idx/pq")
       val q0 = e.filter(col("vec_id") === 0)
         .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      def pin(df: DataFrame): DataFrame = {
-        val cp = df.localCheckpoint(true)
-        s.createDataFrame(cp.rdd, cp.schema)
-      }
-      // IVF-probed entry points — q233's v0 (min vec_id per probed cell)
-      val wq = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
-        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= Round7Final.NPROBE).select(col("cid"))
-      val entries = hard
-        .join(broadcast(probes), col("acell") === col("cid"))
-        .filter(col("vec_id") =!= 0)
-        .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
-        .select(col("vec_id")).distinct()
       // ADC of a bounded visited frame: broadcast ids into the code
       // table, resolve codewords from the broadcast PQ codebooks —
       // never touches the raw vectors
@@ -122,25 +181,8 @@ object Round8Ops {
       def topBAdc(v: DataFrame): DataFrame =
         adcOf(v).orderBy(col("adc").desc, col("vec_id").asc)
           .limit(Round7Final.BEAM).select(col("vec_id"))
-      var visited = pin(entries)
-      for (_ <- 1 to Round7Final.HOPS) {
-        // bounded ADC-ranked frontier collected to the driver (the
-        // coordinator-resident frontier of a graph-ANN server):
-        // local-relation broadcast + static bucket pruning of the
-        // partitioned edges scan
-        val frQ = topBAdc(visited)
-        val frRows = frQ.collect()
-        val frDf = s.createDataFrame(
-            java.util.Arrays.asList(frRows: _*), frQ.schema)
-          .withColumnRenamed("vec_id", "src")
-        val buckets = frRows.map(_.getLong(0) % Round7Final.SRCB)
-          .distinct.toSeq
-        val nbrs = edges.filter(col("sb").isin(buckets: _*))
-          .join(broadcast(frDf), Seq("src"))
-          .select(col("dst").as("vec_id"))
-          .filter(col("vec_id") =!= 0)
-        visited = pin(visited.union(nbrs).distinct())
-      }
+      val visited =
+        beamLoop(s, edges, entriesOf(e, cb, hard), topBAdc)
       // exact refine of the ADC top-PQC only — the raw-vector read is
       // PQC rows, not the visited set, not the corpus
       val cand = adcOf(visited)
@@ -158,6 +200,263 @@ object Round8Ops {
         .select(col("vec_id"), col("adc"), col("exact"),
           coalesce(col("hit"), lit(0)).cast("int").as("in_exact"))
         .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    // E7: METADATA-FILTERED graph search — q228's post-filter strategy
+    // on the graph tier: widened beam (FW), eligibility filter on the
+    // BOUNDED visited set, exact referee over the eligible corpus.
+    // Output: the filtered top-10 plus the visited/eligible counts
+    // that justify the widened beam.
+    Q(
+      "q242_filtered_graph_ann",
+      s"""WITH ${Round7Final.graphPrefixSql},
+         |${Round7Final.hopChainSql(FW, "w")},
+         |eligq AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$LANG'),
+         |vise AS MATERIALIZED (
+         |  SELECT v.vec_id FROM v${Round7Final.HOPS}w v
+         |  JOIN eligq g ON g.vec_id = v.vec_id),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_visited
+         |  FROM v${Round7Final.HOPS}w),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_elig_vis
+         |  FROM vise),
+         |sc AS (SELECT v.vec_id,
+         |    ${Pq.duckIntDot("i.iv", "q.qiv")} AS exact
+         |  FROM vise v JOIN ivc i ON i.vec_id = v.vec_id, qv q),
+         |topef AS (SELECT i.vec_id FROM ivc i
+         |  JOIN eligq g ON g.vec_id = i.vec_id, qv q
+         |  WHERE i.vec_id <> 0
+         |  ORDER BY ${Pq.duckIntDot("i.iv", "q.qiv")} DESC,
+         |    i.vec_id ASC LIMIT 10)
+         |SELECT s.vec_id, s.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, n.n_visited, e2.n_elig_vis
+         |FROM (SELECT * FROM sc ORDER BY exact DESC, vec_id ASC
+         |  LIMIT 10) s
+         |LEFT JOIN topef t ON s.vec_id = t.vec_id, nv n, ne e2
+         |ORDER BY s.exact DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      graft.functions.ArrayDot.register(s)
+      val e = Tables.table(s, dir, "embeddings")
+      val d = Tables.table(s, dir, "documents")
+      val (ivc, edges, hard) = Round7Final.graphArtifacts(s, dir)
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), VecIndex.CITERS)
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      def topB(v: DataFrame): DataFrame =
+        ivc.join(broadcast(v), Seq("vec_id"))
+          .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+          .orderBy(col("exact").desc, col("vec_id").asc)
+          .limit(FW).select(col("vec_id"))
+      val visited = beamLoop(s, edges, entriesOf(e, cb, hard), topB)
+      // the eligibility predicate pushes to the documents scan; the
+      // filter lands on the BOUNDED visited set via an id semi-join
+      val elig = d.filter(col("lang") === LANG)
+        .select(col("doc_id").as("vec_id"))
+      val vise = visited.join(elig, Seq("vec_id"), "left_semi")
+      val nv = visited.agg(count(lit(1)).cast("bigint").as("n_visited"))
+      val ne = vise.agg(count(lit(1)).cast("bigint").as("n_elig_vis"))
+      val sc = ivc.join(broadcast(vise), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+      // referee: exact top-10 over the ELIGIBLE corpus only
+      val topef = ivc.join(elig, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      sc.orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .join(broadcast(topef), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
+        .select(col("vec_id"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          col("n_visited"), col("n_elig_vis"))
+        .orderBy(col("exact").desc, col("vec_id").asc)
+    },
+
+    // E7: the RANK-MODE operating curve — the same persisted graph
+    // walked with exact-ranked vs ADC-ranked frontiers; per mode the
+    // visited size and the brute-force-top-10 recall of the visited
+    // set. This is the in-band number for "what does PQ cost the graph
+    // tier" (the q234/q239 curve discipline applied to ranking mode).
+    Q(
+      "q243_graph_rank_mode_curve",
+      s"""WITH ${Round7Final.graphPrefixSql},
+         |$adcAllSql,
+         |${Round7Final.hopChainSql(Round7Final.BEAM, "x")},
+         |${adcHopChain(Round7Final.BEAM, "y")},
+         |me AS (SELECT 'exact' AS mode,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM v${Round7Final.HOPS}x) AS n_visited,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM v${Round7Final.HOPS}x v
+         |     JOIN tope t ON t.vec_id = v.vec_id) AS n_hit),
+         |ma AS (SELECT 'adc' AS mode,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM va${Round7Final.HOPS}y) AS n_visited,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM va${Round7Final.HOPS}y v
+         |     JOIN tope t ON t.vec_id = v.vec_id) AS n_hit)
+         |SELECT * FROM me UNION ALL SELECT * FROM ma
+         |ORDER BY mode""".stripMargin) { (s, dir) =>
+      graft.functions.ArrayDot.register(s)
+      val e = Tables.table(s, dir, "embeddings")
+      val (ivc, edges, hard) = Round7Final.graphArtifacts(s, dir)
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), VecIndex.CITERS)
+      val idx = VecIndex.artifacts(s, dir, "full", e)
+      val codes = VecIndex.readCodes(s, idx)
+      val cbRow = s.read.parquet(s"$idx/pq")
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
+      val entries = entriesOf(e, cb, hard)
+      def topBExact(v: DataFrame): DataFrame =
+        ivc.join(broadcast(v), Seq("vec_id"))
+          .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+          .orderBy(col("exact").desc, col("vec_id").asc)
+          .limit(Round7Final.BEAM).select(col("vec_id"))
+      def topBAdc(v: DataFrame): DataFrame =
+        codes.join(broadcast(v), Seq("vec_id"))
+          .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q0))
+          .withColumn("adc", expr(Pq.adcFromCodes))
+          .orderBy(col("adc").desc, col("vec_id").asc)
+          .limit(Round7Final.BEAM).select(col("vec_id"))
+      val tope = ivc.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      def rowOf(mode: String, visited: DataFrame): DataFrame =
+        visited.agg(count(lit(1)).cast("bigint").as("n_visited"))
+          .crossJoin(broadcast(
+            visited.join(broadcast(tope), Seq("vec_id"))
+              .agg(count(lit(1)).cast("bigint").as("n_hit"))))
+          .select(lit(mode).as("mode"), col("n_visited"), col("n_hit"))
+      val vx = beamLoop(s, edges, entries, topBExact)
+      val vy = beamLoop(s, edges, entries, topBAdc)
+      rowOf("exact", vx).unionByName(rowOf("adc", vy))
+        .orderBy(col("mode"))
+    },
+
+    // E7: BLUE/GREEN GENERATION SWAP — index deployment as an atomic
+    // pointer flip: generation v1 (base corpus) and v2 (full corpus)
+    // coexist as persisted roots; v2 is validated (its code count must
+    // equal the corpus size) before `current.json` is atomically
+    // replaced; serving reads THROUGH the pointer. Output: the served
+    // top-10 with generation + both generations' sizes.
+    Q(
+      "q244_index_generation_swap",
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, VecIndex.CITERS)},
+         |${Pq.pqChains},
+         |assign AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl${VecIndex.CITERS} c),
+         |lists AS MATERIALIZED (SELECT vec_id, embedding, cid
+         |  FROM assign WHERE rn = 1),
+         |${Pq.pqCodeEncs("lists", "_a")},
+         |${Pq.duckCodesCte("codesall", "lists", "_a")},
+         |qv AS (SELECT ${Pq.duckScaled("embedding")} AS qs
+         |  FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM assign WHERE vec_id = 0
+         |  AND rn <= $GNPROBE),
+         |cand AS MATERIALIZED (
+         |  SELECT ca.* FROM codesall ca JOIN probes p ON ca.cid = p.cid
+         |  WHERE ca.vec_id <> 0),
+         |scored AS MATERIALIZED (
+         |  SELECT v.vec_id, ${Pq.duckAdcFromCodes} AS adc
+         |  FROM cand v
+         |  ${Pq.duckAdcJoins}, qv q),
+         |exalls AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    ${Pq.duckIntDot(Pq.duckScaled("e.embedding"), "q.qs")}
+         |      AS exact
+         |  FROM embeddings e, qv q WHERE e.vec_id <> 0),
+         |tope AS (SELECT vec_id FROM exalls
+         |  ORDER BY exact DESC, vec_id ASC LIMIT 10),
+         |nv1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v1
+         |  FROM embeddings WHERE vec_id % 10 < 8),
+         |nv2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v2
+         |  FROM embeddings)
+         |SELECT s.vec_id, s.adc, x.exact,
+         |  CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS in_exact, CAST(2 AS BIGINT) AS gen, g1.n_v1, g2.n_v2
+         |FROM (SELECT * FROM scored ORDER BY adc DESC, vec_id ASC
+         |  LIMIT 10) s
+         |JOIN exalls x ON x.vec_id = s.vec_id
+         |LEFT JOIN tope t ON s.vec_id = t.vec_id, nv1 g1, nv2 g2
+         |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 < 8)
+      // both generations exist as persisted roots
+      val v1 = VecIndex.artifacts(s, dir, "base", base)
+      val v2 = VecIndex.artifacts(s, dir, "full", e)
+      // VALIDATE v2 before promoting it: its code count must equal the
+      // corpus size (a half-written generation must never be pointed
+      // at) — bounded driver-side counts
+      val n = e.count()
+      val nCodes = VecIndex.readCodes(s, v2).count()
+      require(nCodes == n,
+        s"generation v2 invalid: $nCodes codes for $n vectors")
+      // ATOMIC pointer flip: write a temp file, then move it over
+      // current.json atomically — a crash mid-swap leaves the old
+      // pointer intact (readers never see a partial write)
+      val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_idxptr_${VecIndex.dirDigest(dir)}")
+      java.nio.file.Files.createDirectories(proot)
+      val tmp = proot.resolve("current.tmp")
+      java.nio.file.Files.writeString(tmp,
+        s"""{"gen":2,"root":"$v2","n":$n}""")
+      java.nio.file.Files.move(tmp, proot.resolve("current.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // SERVE through the pointer
+      val ptr = java.nio.file.Files.readString(
+        proot.resolve("current.json"))
+      val root = ptr.split("\"root\":\"")(1).split("\"")(0)
+      val codes = VecIndex.readCodes(s, root)
+      val coarse = s.read.parquet(s"$root/coarse")
+      val cbRow = s.read.parquet(s"$root/pq")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= GNPROBE).select(col("cid"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+      val cand = codes.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+      val scored = cand
+        .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q0))
+        .withColumn("adc", expr(Pq.adcFromCodes))
+        .select(col("vec_id"), col("adc"))
+      val exalls = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr(Pq.intDot(
+          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+      val tope = exalls
+        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      val nv1 = base.agg(count(lit(1)).cast("bigint").as("n_v1"))
+      val nv2 = e.agg(count(lit(1)).cast("bigint").as("n_v2"))
+      val top = scored.orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(10)
+      // exact scores fetched for the 10 served rows only
+      val refEx = exalls
+        .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
+      top
+        .join(broadcast(refEx), Seq("vec_id"))
+        .join(broadcast(tope), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nv1)).crossJoin(broadcast(nv2))
+        .select(col("vec_id"), col("adc"), col("exact"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_exact"),
+          lit(2L).as("gen"), col("n_v1"), col("n_v2"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
     }
   )
 }

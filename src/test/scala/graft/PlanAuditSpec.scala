@@ -150,7 +150,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q240's returned frame is the sink read (orderBy only); the
     // serving shapes inside the micro-batch body are audited in the
     // dedicated q240 test below
-    "q240_stream_graph_search")
+    "q240_stream_graph_search",
+    // q244's pointed-serve probe window must stay keyed on vec_id
+    "q244_index_generation_swap")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -264,7 +266,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q241: the ADC-ranked candidate set, PQ codebooks, and query
       // vector all ride broadcasts; raw vectors join only for the
       // bounded exact refine
-      "q241_graph_pq_serve")
+      "q241_graph_pq_serve",
+      // q242: the eligible referee, counts, and visited set broadcast
+      // into the final joins; q243: both mode rows assemble from
+      // broadcast one-row counts; q244: the pointed serve broadcasts
+      // probes/codebooks/referee
+      "q242_filtered_graph_ann", "q243_graph_rank_mode_curve",
+      "q244_index_generation_swap")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

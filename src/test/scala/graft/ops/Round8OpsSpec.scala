@@ -66,4 +66,63 @@ class Round8OpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b, "re-run diverged")
   }
+
+  test("q242: every served id satisfies the metadata predicate, the " +
+    "eligible-visited count is bounded by the visited count, and the " +
+    "widened-beam visited set stays corpus-size-independent") {
+    assume(available, s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry
+      .queries("q242_filtered_graph_ann")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val eligible = graft.Tables.table(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, _, _, nv, ne) =>
+      assert(eligible.contains(id), s"served ineligible doc $id")
+      assert(ne <= nv, "eligible-visited exceeds visited")
+      // entries (<= NPROBE cells) + HOPS * FW(8) * DEG neighbours
+      assert(nv <= 2 + 3 * 8 * 6, s"visited $nv exceeds the FW bound")
+    }
+  }
+
+  test("q243: exactly the two ranking modes, visited sets bounded, " +
+    "recall counted out of the brute-force top-10") {
+    assume(available, s"$dir absent — skipping")
+    val rows = graft.SparkEntry
+      .queries("q243_graph_rank_mode_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("adc", "exact"))
+    rows.foreach { case (mode, nv, nh) =>
+      assert(nv > 0 && nv <= 2 + 3 * 4 * 6,
+        s"$mode visited $nv out of bounds")
+      assert(nh >= 0 && nh <= 10, s"$mode n_hit $nh out of range")
+    }
+  }
+
+  test("q244: the pointer names generation 2 after an atomic flip " +
+    "(no temp file left behind), v1 is the smaller generation, and a " +
+    "re-run serves identically") {
+    assume(available, s"$dir absent — skipping")
+    val a = graft.SparkEntry
+      .queries("q244_index_generation_swap")(spark, dir).collect()
+    val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_idxptr_${graft.ops.VecIndex.dirDigest(dir)}")
+    val ptr = java.nio.file.Files.readString(
+      proot.resolve("current.json"))
+    assert(ptr.contains("\"gen\":2"), s"pointer not at gen 2: $ptr")
+    assert(!java.nio.file.Files.exists(proot.resolve("current.tmp")),
+      "atomic flip left its temp file behind")
+    a.foreach { r =>
+      assert(r.getLong(4) == 2L, "served generation must be 2")
+      assert(r.getLong(5) < r.getLong(6), "v1 must be smaller than v2")
+    }
+    val b = graft.SparkEntry
+      .queries("q244_index_generation_swap")(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "re-run diverged after the swap")
+  }
 }
