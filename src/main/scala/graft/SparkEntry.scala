@@ -25,7 +25,8 @@ object SparkEntry {
       Round5Ops.queries ++ Pq.queries ++ Bpe.queries ++
       Round5More.queries ++ Round5Final.queries ++ MaintenanceOps.queries ++
       Round6Ops.queries ++ Round7Ops.queries ++ Round7More.queries ++
-      Round7Final.queries ++ Round7Pipeline.queries ++ Round8Ops.queries
+      Round7Final.queries ++ Round7Pipeline.queries ++ Round8Ops.queries ++
+      Round9Ops.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   *     orders of magnitude fewer than documents) run single-task
   *     union-find behind a repartition(1) boundary — upstream edge
   *     generation stays fully parallel;
-  *   - larger edge sets run a distributed min-label contraction loop:
-  *     per round every node takes the min label over itself and its
-  *     neighbors' labels (one shuffle join on the edge set), then jumps
-  *     to its current label's label (pointer doubling), giving O(log n)
-  *     rounds on chain-shaped worst cases instead of O(diameter).
+  *   - larger edge sets run the alternating LARGE-STAR / SMALL-STAR
+  *     contraction of Kiveris et al. ("Connected Components in
+  *     MapReduce and Beyond", SoCC 2014): each round rewires every
+  *     node's larger neighbors (large-star), then its smaller ones
+  *     (small-star), onto the neighborhood minimum. Components contract
+  *     to min-rooted stars in O(log² n) rounds REGARDLESS of graph
+  *     diameter — the previous min-label-propagation loop was
+  *     O(diameter) (information travels one edge per round however
+  *     aggressively label chains are pointer-jumped), which measured 37
+  *     rounds ≈ 13 s of per-round fixed job cost on the sf0.1 near-dup
+  *     graph (diameter ~35); star contraction closes the same graph in
+  *     a handful of rounds, and the edge set SHRINKS as it converges,
+  *     so late rounds are cheap as well as few.
   *
   * Every contraction round BOTH localCheckpoints (truncating the logical
   * plan, which otherwise doubles per iteration) AND rebuilds the frame
@@ -35,16 +43,16 @@ object Components {
     */
   val SingleTaskMaxEdges: Long = 2000000L
 
-  /** Hard cap on contraction rounds. Min-label + pointer doubling halves
-    * the label-chain depth per round, so convergence needs <= ~log2(n)
-    * rounds — 64 covers any representable vertex set. Hitting the cap
-    * therefore means the loop is NOT converging (e.g. a non-deterministic
-    * edge source re-sampling per action) and must fail loud with
-    * diagnostics instead of spinning shuffles forever.
+  /** Hard cap on contraction rounds. Alternating star rounds contract
+    * any component in O(log² n) — 64 covers any representable vertex
+    * set. Hitting the cap therefore means the loop is NOT converging
+    * (e.g. a non-deterministic edge source re-sampling per action) and
+    * must fail loud with diagnostics instead of spinning shuffles
+    * forever.
     */
   val MaxContractRounds: Int = 64
 
-  /** Telemetry: per-round changed-label counts of the most recent
+  /** Telemetry: per-round edge-set-change counts of the most recent
     * contract() call on this JVM (head = round 1). Written once per call
     * (single harness thread); tests assert convergence behavior on it.
     */
@@ -79,15 +87,16 @@ object Components {
 
   private def contract(
       spark: SparkSession, edges: DataFrame, maxRounds: Int): DataFrame = {
-    // symmetric closure + self-loops: every vertex appears as src
-    val sym = fresh(spark,
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .union(edges.select(col("a").as("src"), col("a").as("dst")))
-        .union(edges.select(col("b").as("src"), col("b").as("dst")))
-        .distinct())
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("label"))
-      .withColumnRenamed("src", "node")
+    // the vertex universe — needed at the end because star contraction
+    // drops self-loops and isolated vertices along the way
+    val nodes = fresh(spark,
+      edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct())
+    // canonical undirected edge set, self-loops dropped
+    var e = fresh(spark,
+      edges.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var changed = 1L
     val rounds = Seq.newBuilder[Long]
     var round = 0
@@ -97,33 +106,53 @@ object Components {
         lastContractRounds = rounds.result()
         throw new IllegalStateException(
           s"Components.contract did not converge after $maxRounds rounds " +
-            s"(last round still changed $changed labels; per-round counts: " +
+            s"(last round still changed $changed edges; per-round counts: " +
             s"${lastContractRounds.mkString(", ")}) — is the edge input " +
             "deterministic across actions?")
       }
-      // min over neighbors' labels (self-loop ⇒ every node is its own
-      // neighbor, so the inner join keeps all nodes)
-      val viaNbr = sym
-        .join(labels.withColumnRenamed("node", "n2"), col("dst") === col("n2"))
-        .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      val stepped = labels
-        .join(viaNbr, col("node") === col("src"))
-        .select(col("node"), least(col("label"), col("nl")).as("l1"),
-          col("label").as("l0"))
-      // pointer doubling: follow the new label to ITS label (labels stay
-      // within the component, so the min only tightens)
-      val jumped = stepped
-        .join(labels.select(col("node").as("jn"), col("label").as("jl")),
-          col("l1") === col("jn"), "left")
-        .select(col("node"),
-          least(col("l1"), coalesce(col("jl"), col("l1"))).as("label"),
-          col("l0"))
-      val materialized = fresh(spark, jumped)
-      changed = materialized.filter(col("label") < col("l0")).count()
+      // LARGE-STAR: every node n connects its LARGER neighbors to the
+      // min of its closed neighborhood — long chains gain skip edges
+      val sym = e.select(col("u").as("n"), col("v").as("w"))
+        .union(e.select(col("v").as("n"), col("u").as("w")))
+      val mins = sym.groupBy(col("n")).agg(min(col("w")).as("mw"))
+        .select(col("n"), least(col("n"), col("mw")).as("m"))
+      // e1 is consumed twice below but NOT checkpointed: the two
+      // consumers share its shuffle via exchange reuse, and e2's
+      // checkpoint resets lineage/stats once per round
+      val e1 = sym.filter(col("w") > col("n"))
+        .join(mins, Seq("n"))
+        .select(col("m").as("u"), col("w").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: every node v rewires its SMALLER neighbors (and
+      // itself) onto their min — star trees flatten toward the root.
+      // In canonical (u < v) form, v's smaller neighborhood is exactly
+      // the edges that arrive at v.
+      val minsS = e1.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val e2 = fresh(spark,
+        e1.join(minsS, Seq("v"))
+          .select(col("u").as("x"), col("m"))
+          .union(minsS.select(col("v").as("x"), col("m")))
+          .filter(col("x") =!= col("m"))
+          .select(least(col("x"), col("m")).as("u"),
+            greatest(col("x"), col("m")).as("v"))
+          .distinct())
+      // fixpoint = the round rewired nothing: same canonical edge set.
+      // One full-outer join counts the symmetric difference — zero
+      // exactly at the fixpoint, a faithful progress count before it.
+      changed = e2.withColumn("r", lit(1))
+        .join(e.withColumn("l", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("r").isNull || col("l").isNull).count()
       rounds += changed
-      labels = materialized.select(col("node"), col("label"))
+      e = e2
     }
     lastContractRounds = rounds.result()
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    // at the fixpoint every component is a single star rooted at its
+    // min: each non-root points to the root along its one edge; roots
+    // and isolated vertices label themselves
+    nodes
+      .join(e.select(col("v").as("node"), col("u").as("root")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("root"), col("node")).as("component"))
   }
 }

@@ -145,13 +145,17 @@ object KMeans {
   }
 
   /** The bounded training relation: seed rows (vec_id < k) plus the
-    * hash-admitted sample. Identity when the threshold saturates.
+    * hash-admitted sample. Identity when the threshold saturates. The
+    * hash masks vec_id to HASH_MOD BEFORE multiplying — equivalent mod
+    * 2^20 (HASH_MOD divides 2^64, so silent wrap cannot change the
+    * residue) and overflow-free in engines with CHECKED BIGINT math
+    * (DuckDB errors on vec_id ≥ ~3.5e9 unmasked — round-8 advice).
     */
-  private def trainSample(e: DataFrame, k: Int): DataFrame = {
+  private[ops] def trainSample(e: DataFrame, k: Int): DataFrame = {
     val t = sampleThreshold(e.count(), k)
     if (t >= HASH_MOD) e
     else e.filter(col("vec_id") < k ||
-      expr(s"(vec_id * ${HASH_MULT}L) % $HASH_MOD") < lit(t))
+      expr(s"((vec_id % $HASH_MOD) * ${HASH_MULT}L) % $HASH_MOD") < lit(t))
   }
 
   /** Train the codebook: k centroids, `iters` Lloyd iterations over the
@@ -257,14 +261,17 @@ object KMeans {
     // kmthr/kmtr/kmsvt: the bounded deterministic training sample —
     // the exact mirror of the Spark side's trainSample (seed rows
     // vec_id < k always admitted; Knuth-hash threshold for the rest;
-    // saturates to the full corpus when n <= 256·k).
+    // saturates to the full corpus when n <= SAMPLE_PER_CELL·k = 64·k).
+    // The constants interpolate from SAMPLE_PER_CELL/HASH_MOD/HASH_MULT
+    // so retuning them can never desync the mirror, and vec_id masks to
+    // HASH_MOD before multiplying (overflow-free — see trainSample).
     sb ++= s"""kmthr$tag AS (
-      |  SELECT LEAST(1048576, (1048576 * 64 * ($k)
+      |  SELECT LEAST($HASH_MOD, ($HASH_MOD * $SAMPLE_PER_CELL * ($k)
       |    + GREATEST(CAST(COUNT(*) AS BIGINT), 1) - 1)
       |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1)) AS t FROM $src),
       |kmtr$tag AS MATERIALIZED (
       |  SELECT * FROM $src
-      |  WHERE vec_id < $k OR (vec_id * 2654435761) % 1048576 <
+      |  WHERE vec_id < $k OR ((vec_id % $HASH_MOD) * $HASH_MULT) % $HASH_MOD <
       |    (SELECT t FROM kmthr$tag)),
       |sv$tag AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(${emb("")}, 1) - 1 AS pos,

@@ -651,7 +651,7 @@ object Round6Ops {
       val q = qStream.writeStream.outputMode("append")
         .foreachBatch(serveBatch(lists, coarse, out) _)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drainTo(q, out)
       s.read.parquet(s"$out/b*").orderBy(col("qid"), col("rank"))
     },
 
@@ -791,6 +791,31 @@ object Round6Ops {
           col("vec_id"), col("d"))
         .write.mode("overwrite").parquet(s"$out/b$batchId")
     }
+  }
+
+  /** Drain a foreachBatch file-sink stream and stop it. A bare
+    * processAllAvailable can RACE the file source's first listing: a
+    * trigger that ran before discovery saw no files, set noNewData and
+    * released the wait — the query then stops having written ZERO
+    * batches and the sink read fails (observed ~1-in-5 on cold
+    * artifact builds). The fix is to re-process until the sink holds
+    * at least one batch dir (bounded — the gates' query streams are
+    * never empty), letting a later trigger pick the discovery up.
+    */
+  private[graft] def drainTo(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      out: String): Unit = {
+    try {
+      q.processAllAvailable()
+      def empty = {
+        val fs = new java.io.File(out).listFiles()
+        fs == null || fs.isEmpty
+      }
+      var tries = 0
+      while (tries < 40 && empty) {
+        Thread.sleep(250); q.processAllAvailable(); tries += 1
+      }
+    } finally q.stop()
   }
 
   /** Deterministic scratch dir under java.io.tmpdir, wiped clean — the

@@ -46,7 +46,7 @@ object Round7Final {
   private val BEAMS = Seq(2, 4, 8) // q234's operating-curve widths
   private val L1MOD = 8 // q236: every 8th vector promotes to layer 1
   private val L1BEAM = 2 // q236: narrow beam for the layer-1 descent
-  private val QB = 8 // q239: batched-curve query count (q217 style)
+  private[ops] val QB = 8 // q239: batched-curve query count (q217 style)
 
   private[ops] val scaledD =
     "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
@@ -59,14 +59,16 @@ object Round7Final {
   // later execution — and a second session over the same corpus —
   // serves from the files.
   private val builtGraph =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[String, (String, Long)]
 
   /** Cheap order-independent corpus identity + graph geometry: any
     * row added/removed/revalued moves it, so a marker match means the
     * on-disk graph was built from this exact corpus with these exact
-    * knobs.
+    * knobs. Returns the marker string plus the corpus row count (the
+    * input to the bucket-count law). "v":3 = srcbFor-derived edges
+    * bucket layout (round-8 verdict task 2).
     */
-  private def marker(e: DataFrame, extra: String = ""): String = {
+  private def markerN(e: DataFrame, extra: String = ""): (String, Long) = {
     val r = e.select(col("vec_id"),
         expr("aggregate(transform(embedding, v -> CAST(FLOOR(CAST(v " +
           "AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), 0L, " +
@@ -75,9 +77,12 @@ object Round7Final {
         (sum(col("sv") * (col("vec_id") % 97L + 1L)) % 1000000007L)
           .as("fp"))
       .head()
-    s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"soft":$SOFT,""" +
-      s""""deg":$DEG,"citers":$CITERS$extra,"v":2}"""
+    (s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"soft":$SOFT,""" +
+      s""""deg":$DEG,"citers":$CITERS$extra,"v":3}""", r.getLong(0))
   }
+
+  private def marker(e: DataFrame, extra: String = ""): String =
+    markerN(e, extra)._1
 
   /** The broadcastable one-row centroid array with DOUBLE-cast
     * components — the centroid ranking dot is float×double, the
@@ -131,60 +136,96 @@ object Round7Final {
       .select(col("src"), col("dst"))
   }
 
-  // Persisted edges are PARTITIONED BY a src bucket (sb = src % SRCB)
+  // Persisted edges are PARTITIONED BY a src bucket (sb = src % srcb)
   // and hard assignments BY their cell, so a hop's broadcast join on
-  // (sb, src) — and an entry lookup's on acell — dynamic-partition-
-  // prunes the artifact scan to the frontier's buckets instead of
-  // re-reading the whole n·DEG file per hop (round-7 verdict, What's
-  // missing 1). SRCB bounds file count; at cluster scale it would ride
-  // the corpus size.
-  private[ops] val SRCB = 16L
+  // (sb, src) — and an entry lookup's on acell — prunes the artifact
+  // scan to the frontier's buckets instead of re-reading the whole
+  // n·DEG file per hop (round-7 verdict, What's missing 1). The bucket
+  // COUNT is corpus-derived (round-8 verdict, What's wrong 2: a
+  // constant SRCB=16 made the prune a constant factor — each hop still
+  // scanned ~n·DEG/16 rows, O(n) I/O at 100×).
+  private[ops] val SRCB_MIN = 16L
 
-  /** Attach the edges partition bucket to a frame with a src column. */
-  private def withSb(df: DataFrame): DataFrame =
-    df.withColumn("sb", pmod(col("src"), lit(SRCB)))
+  /** Corpus-derived edges bucket count: the smallest power of two
+    * ≥ √n, floored at SRCB_MIN. A BEAM-row frontier then touches ≤
+    * BEAM buckets of ~DEG·√n edge rows each — per-hop I/O rides
+    * frontier × per-bucket occupancy (O(√n)), not n/const. The value
+    * is pinned per artifact: carried in the artifact marker (via n and
+    * "v":3) and on the sb column's METADATA, so readers always prune
+    * with the writer's modulus.
+    */
+  private[graft] def srcbFor(n: Long): Long = {
+    var b = SRCB_MIN
+    while (b.toDouble < math.sqrt(math.max(n, 1L).toDouble)) b *= 2
+    b
+  }
+
+  private def sbMeta(srcb: Long) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("srcb", srcb).build()
+
+  /** The bucket modulus an edges frame was built with (from the sb
+    * column's metadata; SRCB_MIN for frames that predate it).
+    */
+  private[graft] def srcbOf(edges: DataFrame): Long = {
+    val m = edges.schema("sb").metadata
+    if (m.contains("srcb")) m.getLong("srcb") else SRCB_MIN
+  }
+
+  /** Attach the edges partition bucket (modulus `srcb`) to a frame
+    * with a src column, recording the modulus on the column metadata.
+    */
+  private def withSb(df: DataFrame, srcb: Long): DataFrame =
+    df.select(col("*"), pmod(col("src"), lit(srcb)).as("sb", sbMeta(srcb)))
 
   /** Edges frames from non-partitioned builds (in-memory referees)
     * get the bucket derived on the fly; partitioned reads keep theirs.
     */
-  private def ensureSb(edges: DataFrame): DataFrame =
-    if (edges.columns.contains("sb")) edges else withSb(edges)
+  private[ops] def ensureSb(edges: DataFrame): DataFrame =
+    if (edges.columns.contains("sb")) edges else withSb(edges, SRCB_MIN)
 
   /** Read a bucket-partitioned edges artifact, restoring sb to BIGINT
-    * (partition-value inference reads it as INT).
+    * (partition-value inference reads it as INT) and re-attaching the
+    * writer's bucket modulus to the column metadata.
     */
-  private def readEdges(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path).withColumn("sb", col("sb").cast("bigint"))
+  private def readEdges(
+      s: SparkSession, path: String, srcb: Long): DataFrame = {
+    val raw = s.read.parquet(path)
+    raw.select(raw.columns.filterNot(_ == "sb").map(col) :+
+      col("sb").cast("bigint").as("sb", sbMeta(srcb)): _*)
+  }
 
-  // (root, file) -> built-or-validated; the auxiliary-artifact memo
-  // for persisted REFEREES (q235's full rebuild, q237's fresh survivor
-  // build). A referee is deterministic in (corpus, geometry), so it is
-  // an artifact like any other: computing it on every run made the
-  // lifecycle gates time the proof instead of the operation (round-7
-  // verdict, What's wrong 4).
+  // (root, file, expect) -> built-or-validated; the auxiliary-artifact
+  // memo for persisted REFEREES (q235's full rebuild, q237's fresh
+  // survivor build). A referee is deterministic in (corpus, geometry),
+  // so it is an artifact like any other: computing it on every run
+  // made the lifecycle gates time the proof instead of the operation
+  // (round-7 verdict, What's wrong 4). The expect marker is part of
+  // the key so a corpus regenerated mid-session re-validates instead
+  // of serving the stale referee (round-8 advice).
   private val builtAux =
-    scala.collection.mutable.Map.empty[(String, String), Unit]
+    scala.collection.mutable.Map.empty[(String, String, String), Unit]
 
   /** Marker-gated persisted edges artifact `<root>/<file>`: build and
-    * write (bucket-partitioned) only when the stored marker mismatches
-    * `expect`; otherwise serve from the files.
+    * write (bucket-partitioned with modulus `srcb`) only when the
+    * stored marker mismatches `expect`; otherwise serve from the files.
     */
   private def persistedEdges(
-      s: SparkSession, root: String, file: String, expect: String)(
-      build: => DataFrame): DataFrame = {
+      s: SparkSession, root: String, file: String, expect: String,
+      srcb: Long)(build: => DataFrame): DataFrame = {
     builtAux.synchronized {
-      builtAux.getOrElseUpdate((root, file), {
+      builtAux.getOrElseUpdate((root, file, expect), {
         val mk = java.nio.file.Paths.get(root, s"_meta_$file.json")
         val fresh = java.nio.file.Files.exists(mk) &&
           java.nio.file.Files.readString(mk) == expect
         if (!fresh) {
-          withSb(build).write.mode("overwrite").partitionBy("sb")
+          withSb(build, srcb).write.mode("overwrite").partitionBy("sb")
             .parquet(s"$root/$file")
           java.nio.file.Files.writeString(mk, expect)
         }
       })
     }
-    readEdges(s, s"$root/$file")
+    readEdges(s, s"$root/$file", srcb)
   }
 
   /** The kNN-graph artifacts for the corpus at `dir`: `ivc` (the
@@ -193,22 +234,23 @@ object Round7Final {
     * (every vector's rank-0 cell, read from parquet). Build runs only
     * on a missing/stale marker.
     */
-  private[ops] def graphArtifacts(s: SparkSession, dir: String)
+  private[graft] def graphArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.table(s, dir, "embeddings")
-    val path = builtGraph.synchronized {
+    val (path, srcb) = builtGraph.synchronized {
       builtGraph.getOrElseUpdate(dir, {
         val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_knngraph_${VecIndex.dirDigest(dir)}").toString
         val mk = java.nio.file.Paths.get(p, "_meta.json")
-        val expect = marker(e)
+        val (expect, n) = markerN(e)
+        val sb = srcbFor(n)
         val fresh = java.nio.file.Files.exists(mk) &&
           java.nio.file.Files.readString(mk) == expect
         if (!fresh) {
           val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
           val soft = softOf(e, centsRowOf(cb))
-          withSb(topDeg(pairsOf(soft, soft)))
+          withSb(topDeg(pairsOf(soft, soft)), sb)
             .write.mode("overwrite").partitionBy("sb")
             .parquet(s"$p/edges")
           // crank 0 IS the hard assignment — persisted cell-partitioned
@@ -220,11 +262,11 @@ object Round7Final {
             .parquet(s"$p/hard")
           java.nio.file.Files.writeString(mk, expect)
         }
-        p
+        (p, sb)
       })
     }
     (e.select(col("vec_id"), expr(scaledD).as("ivd")),
-      readEdges(s, s"$path/edges"),
+      readEdges(s, s"$path/edges", srcb),
       s.read.parquet(s"$path/hard")
         .withColumn("acell", col("acell").cast("bigint")))
   }
@@ -270,7 +312,7 @@ object Round7Final {
     * graph serving). `entries`/result: (qid, vec_id), bounded by
     * Q·(|entries| + hops·beam·DEG) rows.
     */
-  private def beamFromBatch(
+  private[ops] def beamFromBatch(
       s: SparkSession, ivc: DataFrame, edges: DataFrame,
       entries: DataFrame, qb: DataFrame, beam: Int, hops: Int)
       : DataFrame = {
@@ -288,6 +330,7 @@ object Round7Final {
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= beam).select(col("qid"), col("vec_id"))
     val eb = ensureSb(edges)
+    val srcb = srcbOf(eb)
     var visited = pin(entries)
     for (_ <- 1 to hops) {
       // the frontier is ≤ Q·beam rows BY CONSTRUCTION — collected to
@@ -300,7 +343,7 @@ object Round7Final {
       val frDf = s.createDataFrame(
           java.util.Arrays.asList(frRows: _*), frQ.schema)
         .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(1) % SRCB).distinct.toSeq
+      val buckets = frRows.map(_.getLong(1) % srcb).distinct.toSeq
       val nbrs = eb.filter(col("sb").isin(buckets: _*))
         .join(broadcast(frDf), Seq("src"))
         .select(col("qid"), col("dst").as("vec_id"))
@@ -373,7 +416,7 @@ object Round7Final {
   private[graft] def hopPlanFor(s: SparkSession, dir: String): DataFrame = {
     val (_, edges, _) = graphArtifacts(s, dir)
     val fr = s.range(1).select(col("id").as("src"))
-    edges.filter(col("sb").isin(Seq(1L % SRCB): _*))
+    edges.filter(col("sb").isin(Seq(1L % srcbOf(edges)): _*))
       .join(broadcast(fr), Seq("src"))
   }
 
@@ -416,6 +459,7 @@ object Round7Final {
     // the final scoring, n_visited) from re-executing the whole
     // union-of-hops lineage inside its broadcast subplan
     val eb = ensureSb(edges)
+    val srcb = srcbOf(eb)
     var visited = pin(entries)
     for (_ <- 1 to hops) {
       // bounded frontier collected to the driver: local-relation
@@ -425,7 +469,7 @@ object Round7Final {
       val frDf = s.createDataFrame(
           java.util.Arrays.asList(frRows: _*), frQ.schema)
         .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(0) % SRCB).distinct.toSeq
+      val buckets = frRows.map(_.getLong(0) % srcb).distinct.toSeq
       val nbrs = eb.filter(col("sb").isin(buckets: _*))
         .join(broadcast(frDf), Seq("src"))
         .select(col("dst").as("vec_id"))
@@ -616,23 +660,24 @@ object Round7Final {
        |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
        |  LIMIT 10)""".stripMargin
 
-  // (data dir) -> base-graph artifact root for the incremental family
-  // (keyed on the BASE corpus — a different artifact than q233's
-  // full-corpus graph)
+  // (data dir) -> (base-graph artifact root, bucket modulus) for the
+  // incremental family (keyed on the BASE corpus — a different
+  // artifact than q233's full-corpus graph)
   private val builtIncGraph =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[String, (String, Long)]
 
-  // (data dir) -> layer-1 graph artifact root (q236's sparse upper
-  // layer over the same full-corpus codebook as q233's layer 0)
+  // (data dir) -> (layer-1 graph artifact root, bucket modulus)
+  // (q236's sparse upper layer over the same full-corpus codebook as
+  // q233's layer 0)
   private val builtHier =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[String, (String, Long)]
 
   /** The batched oracle spine appended to graphPrefixSql for q239:
     * `qbb` (the QB query vectors), `probesb` (per-query entry cells),
     * `v0b` (per-query entry points) and `topeb` (per-query exact
     * top-10 referee, windowed PARTITION BY qid).
     */
-  private def batchSpineSql: String =
+  private[ops] def batchSpineSql: String =
     s"""qbb AS MATERIALIZED (
        |  SELECT vec_id AS qid, iv AS qiv FROM ivc WHERE vec_id < $QB),
        |probesb AS MATERIALIZED (
@@ -653,7 +698,7 @@ object Round7Final {
     * carries (qid, vec_id) and the per-hop beam is a window
     * PARTITIONED BY qid.
     */
-  private def hopChainBatchSql(beam: Int, tag: String): String =
+  private[ops] def hopChainBatchSql(beam: Int, tag: String): String =
     (1 to HOPS).map { i =>
       val p = i - 1
       val prev = if (p == 0) "v0b" else s"v$p$tag"
@@ -798,26 +843,27 @@ object Round7Final {
       val softB = soft.filter(col("vec_id") % 10 < 8)
       val softD = soft.filter(col("vec_id") % 10 >= 8)
       // ---- the persisted v1 artifact (base graph) ----
-      val p = builtIncGraph.synchronized {
+      val (p, srcbI) = builtIncGraph.synchronized {
         builtIncGraph.getOrElseUpdate(dir, {
           val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
             s"graft_knngraphinc_${VecIndex.dirDigest(dir)}")
             .toString
           val mk = java.nio.file.Paths.get(root, "_meta.json")
           // the v1 graph additionally depends on the 80/20 base split
-          val expect = marker(base, s""","split":"mod10lt8"""")
+          val (expect, nB) = markerN(base, s""","split":"mod10lt8"""")
+          val sb = srcbFor(nB)
           val fresh = java.nio.file.Files.exists(mk) &&
             java.nio.file.Files.readString(mk) == expect
           if (!fresh) {
-            withSb(topDeg(pairsOf(softB, softB)))
+            withSb(topDeg(pairsOf(softB, softB)), sb)
               .write.mode("overwrite").partitionBy("sb")
               .parquet(s"$root/edges_v1")
             java.nio.file.Files.writeString(mk, expect)
           }
-          root
+          (root, sb)
         })
       }
-      val edgesV1 = readEdges(s, s"$p/edges_v1")
+      val edgesV1 = readEdges(s, s"$p/edges_v1", srcbI)
       // ---- ingest: touched cells -> recomputed sources ----
       val touched = softD.select(col("acell")).distinct()
       val rsrc = softB.join(broadcast(touched), Seq("acell"))
@@ -828,15 +874,15 @@ object Round7Final {
       val edgesInc = edgesV1
         .join(rsrc.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
-        .unionByName(withSb(edgesRec))
+        .unionByName(withSb(edgesRec, srcbI))
       edgesInc.write.mode("overwrite").partitionBy("sb")
         .parquet(s"$p/edges_v2")
-      val edgesServe = readEdges(s, s"$p/edges_v2")
+      val edgesServe = readEdges(s, s"$p/edges_v2", srcbI)
       // ---- referee: full rebuild with the SAME base-trained codebook
       // — deterministic in (corpus, geometry), so PERSISTED like any
       // artifact: steady-state runs time the INGEST, not the proof
       val edgesFull = persistedEdges(s, p, "edges_full",
-        marker(e, s""","split":"mod10lt8","ref":"full""""))(
+        marker(e, s""","split":"mod10lt8","ref":"full""""), srcbI)(
         topDeg(pairsOf(soft, soft)))
       val dd = fpEdges(edgesServe)
         .select(col("nr").as("ni"), col("fp").as("fi"))
@@ -924,7 +970,7 @@ object Round7Final {
       val (ivc, edges, _) = graphArtifacts(s, dir)
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-      val p = builtHier.synchronized {
+      val (p, srcbL1) = builtHier.synchronized {
         builtHier.getOrElseUpdate(dir, {
           val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
             s"graft_knngraphl1_${VecIndex.dirDigest(dir)}")
@@ -932,21 +978,23 @@ object Round7Final {
           val mk = java.nio.file.Paths.get(root, "_meta.json")
           // the layer-1 graph additionally depends on the promotion
           // modulus — changing L1MOD must invalidate persisted edges_l1
-          val expect = marker(e, s""","l1mod":$L1MOD""")
+          val (expect, nE) = markerN(e, s""","l1mod":$L1MOD""")
+          // bucket count rides the layer-1 SOURCE count (~n/L1MOD)
+          val sb = srcbFor(math.max(nE / L1MOD, 1L))
           val fresh = java.nio.file.Files.exists(mk) &&
             java.nio.file.Files.readString(mk) == expect
           if (!fresh) {
             val soft1 = softOf(e, centsRowOf(cb))
               .filter(col("vec_id") % L1MOD === 1)
-            withSb(topDeg(pairsOf(soft1, soft1)))
+            withSb(topDeg(pairsOf(soft1, soft1)), sb)
               .write.mode("overwrite").partitionBy("sb")
               .parquet(s"$root/edges_l1")
             java.nio.file.Files.writeString(mk, expect)
           }
-          root
+          (root, sb)
         })
       }
-      val edges1 = readEdges(s, s"$p/edges_l1")
+      val edges1 = readEdges(s, s"$p/edges_l1", srcbL1)
       val entry0 = e.filter(col("vec_id") % L1MOD === 1)
         .agg(min(col("vec_id")).cast("bigint").as("vec_id"))
       val vis1 = beamFrom(s, ivc, edges1, entry0, L1BEAM, HOPS)
@@ -1056,7 +1104,7 @@ object Round7Final {
       // same codebook; serving runs from the compacted files with the
       // exact referee over survivors only.
       val (ivc, edges, hard) = graphArtifacts(s, dir)
-      val root = builtGraph.synchronized(builtGraph(dir))
+      val (root, srcbG) = builtGraph.synchronized(builtGraph(dir))
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val soft = softOf(e, centsRowOf(cb))
@@ -1076,16 +1124,16 @@ object Round7Final {
       edges.join(tombSrc, Seq("src"), "left_anti")
         .join(rsv.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
-        .unionByName(withSb(edgesRec))
+        .unionByName(withSb(edgesRec, srcbG))
         .write.mode("overwrite").partitionBy("sb")
         .parquet(s"$root/edges_v2c")
-      val edgesC = readEdges(s, s"$root/edges_v2c")
+      val edgesC = readEdges(s, s"$root/edges_v2c", srcbG)
       // ---- REFEREE: fresh build over the survivors, same codebook —
       // persisted (tombstone rule is a constant, so the survivor set
       // is deterministic in the corpus): steady-state runs time the
       // DELETE+COMPACT, not the proof
       val edgesFresh = persistedEdges(s, root, "edges_fresh",
-        marker(e, s""","tomb":"mod7eq3","ref":"fresh""""))(
+        marker(e, s""","tomb":"mod7eq3","ref":"fresh""""), srcbG)(
         topDeg(pairsOf(softS, softS)))
       val dd = fpEdges(edgesC)
         .select(col("nr").as("nc"), col("fp").as("fc"))
@@ -1240,7 +1288,7 @@ object Round7Final {
       val q = qStream.writeStream.outputMode("append")
         .foreachBatch(serveGraphBatch(ivc, edges, hard, cb, out) _)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      Round6Ops.drainTo(q, out)
       s.read.parquet(s"$out/b*").orderBy(col("qid"), col("rank"))
     }
   )

@@ -303,7 +303,7 @@ object Round7More {
       val q = newStream.writeStream.outputMode("append")
         .foreachBatch(ingestBatch(coarse, cbRow, out) _)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      Round6Ops.drainTo(q, out)
       val baseCodes = VecIndex.readCodes(s, idx)
       val deltas = new java.io.File(out).listFiles()
       val inc =

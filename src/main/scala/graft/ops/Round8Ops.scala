@@ -88,7 +88,7 @@ object Round8Ops {
       val frDf = s.createDataFrame(
           java.util.Arrays.asList(frRows: _*), frQ.schema)
         .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(0) % Round7Final.SRCB)
+      val buckets = frRows.map(_.getLong(0) % Round7Final.srcbOf(edges))
         .distinct.toSeq
       val nbrs = edges.filter(col("sb").isin(buckets: _*))
         .join(broadcast(frDf), Seq("src"))
@@ -97,6 +97,36 @@ object Round8Ops {
       visited = pin(s)(visited.union(nbrs).distinct())
     }
     visited
+  }
+
+  // ---------------- generation-pointer machinery ----------------------
+  // Shared by q244 (forward swap) and q245 (failed-validation
+  // rollback). The pointer is versioned JSON written via a UNIQUE temp
+  // file + ATOMIC_MOVE (two concurrent swappers can never interleave
+  // on one temp path — round-8 advice) and parsed back with a real
+  // JSON parser (Jackson, on the Spark classpath), not string splits.
+
+  /** Atomically point `proot/current.json` at generation `gen`. */
+  private[ops] def writePointer(
+      proot: java.nio.file.Path, gen: Long, root: String,
+      n: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(proot, "current", ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"gen":$gen,"root":${
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(root)},"n":$n}""")
+    java.nio.file.Files.move(tmp, proot.resolve("current.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Parse the pointed-at (gen, root) back out of `current.json`. */
+  private[ops] def readPointer(
+      proot: java.nio.file.Path): (Long, String) = {
+    val node = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(
+        java.nio.file.Files.readString(proot.resolve("current.json")))
+    (node.get("gen").asLong(), node.get("root").asText())
   }
 
   // ---------------- shared oracle machinery ---------------------------
@@ -401,22 +431,15 @@ object Round8Ops {
       val nCodes = VecIndex.readCodes(s, v2).count()
       require(nCodes == n,
         s"generation v2 invalid: $nCodes codes for $n vectors")
-      // ATOMIC pointer flip: write a temp file, then move it over
-      // current.json atomically — a crash mid-swap leaves the old
+      // ATOMIC pointer flip: write a unique temp file, then move it
+      // over current.json atomically — a crash mid-swap leaves the old
       // pointer intact (readers never see a partial write)
       val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_idxptr_${VecIndex.dirDigest(dir)}")
       java.nio.file.Files.createDirectories(proot)
-      val tmp = proot.resolve("current.tmp")
-      java.nio.file.Files.writeString(tmp,
-        s"""{"gen":2,"root":"$v2","n":$n}""")
-      java.nio.file.Files.move(tmp, proot.resolve("current.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writePointer(proot, 2L, v2, n)
       // SERVE through the pointer
-      val ptr = java.nio.file.Files.readString(
-        proot.resolve("current.json"))
-      val root = ptr.split("\"root\":\"")(1).split("\"")(0)
+      val (_, root) = readPointer(proot)
       val codes = VecIndex.readCodes(s, root)
       val coarse = s.read.parquet(s"$root/coarse")
       val cbRow = s.read.parquet(s"$root/pq")

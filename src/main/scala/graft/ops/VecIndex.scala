@@ -136,7 +136,10 @@ object VecIndex {
   private[ops] def readCodes(s: SparkSession, root: String): DataFrame = {
     val raw = s.read.parquet(s"$root/codes")
       .withColumn("cid", col("cid").cast("bigint"))
-    val rest = raw.columns.filterNot(c => c == "vec_id" || c == "cid")
-    raw.select((Seq("vec_id", "cid") ++ rest.sorted).map(col): _*)
+    // restore the WRITTEN column order by construction, not a string
+    // sort (lexicographic would order c0,c1,c10,...,c2 at M >= 10 —
+    // round-8 advice): the codes artifact is (vec_id, cid, c0..c{M-1})
+    raw.select((Seq("vec_id", "cid") ++
+      (0 until Pq.M).map(m => s"c$m")).map(col): _*)
   }
 }

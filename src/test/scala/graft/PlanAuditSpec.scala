@@ -152,7 +152,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedicated q240 test below
     "q240_stream_graph_search",
     // q244's pointed-serve probe window must stay keyed on vec_id
-    "q244_index_generation_swap")
+    "q244_index_generation_swap",
+    // q245's rollback serve rides the same pointed-serve shapes (the
+    // pointer just still names v1)
+    "q245_generation_rollback")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -272,7 +275,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast one-row counts; q244: the pointed serve broadcasts
       // probes/codebooks/referee
       "q242_filtered_graph_ann", "q243_graph_rank_mode_curve",
-      "q244_index_generation_swap")
+      "q244_index_generation_swap",
+      // q245: the rollback serve broadcasts probes/codebooks/referee
+      // exactly like q244; q247: both mode rows assemble from
+      // broadcast one-row counts over broadcast-joined visited sets;
+      // q248: the sampled codebook's member-count join broadcasts the
+      // k-row sizes
+      "q245_generation_rollback", "q247_batch_rank_mode_curve",
+      "q248_sampled_codebook_small")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
@@ -443,5 +453,45 @@ class PlanAuditSpec extends AnyFunSuite {
           "q240: serving window collapsed to a single partition")
       }
     }
+  }
+
+  test("q246 micro-batch ADC serving plan broadcasts its frontiers " +
+    "and codebooks and keeps every window partitioned by qid") {
+    checkEnv()
+    // like q240, the gate's returned frame is just the sink read; the
+    // shapes that matter are the ADC-ranked micro-batch body's
+    val served = graft.ops.Round9Ops.q246ServeFrame(spark, dir)
+    val sp = served.queryExecution.executedPlan
+    assert(sp.toString.contains("BroadcastExchange"),
+      "q246: ADC serving frame lost its broadcast frontiers/codebooks")
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "q246: expected the qid-keyed refine windows")
+    wins.foreach { w =>
+      feedingExchange(w.child).foreach { e =>
+        assert(e.outputPartitioning != SinglePartition,
+          "q246: serving window collapsed to a single partition")
+      }
+    }
+  }
+
+  test("the edges bucket count rides the corpus size (srcbFor law) " +
+    "and the persisted artifact carries the law's value") {
+    import graft.ops.Round7Final
+    // the law: smallest power of two >= sqrt(n), floored at 16 —
+    // bucket count GROWS with the corpus, so per-hop edges I/O is
+    // frontier x per-bucket occupancy (~DEG*sqrt(n)), not n/const
+    assert(Round7Final.srcbFor(1L) == 16L)
+    assert(Round7Final.srcbFor(256L) == 16L)
+    assert(Round7Final.srcbFor(500L) == 32L)
+    assert(Round7Final.srcbFor(50000L) == 256L)
+    assert(Round7Final.srcbFor(5000000L) == 4096L)
+    assert(Round7Final.srcbFor(1000000000000L) == 1048576L)
+    checkEnv()
+    // the sf0.001 artifact must have been written with the law's
+    // value for ITS corpus, and readers must see it on the sb column
+    val (_, edges, _) = Round7Final.graphArtifacts(spark, dir)
+    val n = graft.Tables.table(spark, dir, "embeddings").count()
+    assert(Round7Final.srcbOf(edges) == Round7Final.srcbFor(n),
+      "persisted edges artifact lost the corpus-derived bucket count")
   }
 }

@@ -115,8 +115,11 @@ class Round8OpsSpec extends AnyFunSuite {
     val ptr = java.nio.file.Files.readString(
       proot.resolve("current.json"))
     assert(ptr.contains("\"gen\":2"), s"pointer not at gen 2: $ptr")
-    assert(!java.nio.file.Files.exists(proot.resolve("current.tmp")),
-      "atomic flip left its temp file behind")
+    // the flip goes through a UNIQUE temp file — none may survive it
+    val leftover = java.nio.file.Files.list(proot).toArray
+      .map(_.toString).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty,
+      s"atomic flip left temp files behind: ${leftover.mkString(",")}")
     a.foreach { r =>
       assert(r.getLong(4) == 2L, "served generation must be 2")
       assert(r.getLong(5) < r.getLong(6), "v1 must be smaller than v2")
