@@ -63,7 +63,7 @@ object Round7Ops {
       s"ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % $P)"
 
   /** (nr, fp) of a (vec_id, cid, c0..c{M-1}) codes frame. */
-  private def fpOf(codes: DataFrame): DataFrame =
+  private[ops] def fpOf(codes: DataFrame): DataFrame =
     codes.select(concat_ws("|",
         col("vec_id") +: col("cid") +:
           (0 until Pq.M).map(m => col(s"c$m")): _*).as("rs"))

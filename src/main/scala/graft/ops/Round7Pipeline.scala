@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -58,13 +57,14 @@ object Round7Pipeline {
          |    ${duckMh(4, 8)} AS band1
          |  FROM base),
          |sides AS MATERIALIZED (
-         |  SELECT doc_id, is_val, u.bi,
+         |  SELECT doc_id, is_val, len(tk) AS ntk, u.bi,
          |    CASE WHEN u.bi = 0 THEN band0 ELSE band1 END AS bkey
          |  FROM sg, LATERAL (SELECT unnest([0, 1]) AS bi) u),
          |cand AS MATERIALIZED (
          |  SELECT DISTINCT v.doc_id AS val_doc, t.doc_id AS train_doc
          |  FROM sides v JOIN sides t ON v.bi = t.bi AND v.bkey = t.bkey
-         |  WHERE v.is_val AND NOT t.is_val),
+         |  WHERE v.is_val AND NOT t.is_val
+         |    AND LEAST(v.ntk, t.ntk) * 5 >= GREATEST(v.ntk, t.ntk) * 4),
          |scored AS MATERIALIZED (
          |  SELECT c.val_doc, c.train_doc,
          |    CAST(FLOOR(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
@@ -85,42 +85,71 @@ object Round7Pipeline {
          |SELECT b.val_doc, b.train_doc, b.jac6, v.n_val, l.n_leaked
          |FROM best b, nv v, nl l
          |ORDER BY b.val_doc""".stripMargin) { (s, dir) =>
-      graft.functions.TokenJaccard.register(s)
+      graft.functions.TokenJaccardSorted.register(s)
+      // tk is sorted ONCE per document so the per-pair kernel is the
+      // allocation-free sorted merge (see TokenJaccardSorted) — the
+      // jaccard VALUE is set-semantic and unchanged
       val base = Tables.table(s, dir, "documents")
         .select(col("doc_id"), expr(lcgVal).as("is_val"),
-          array_distinct(split(col("text"), " ")).as("tk"),
+          array_sort(array_distinct(split(col("text"), " "))).as("tk"),
           expr(Dedup.sparkTokenHashes).as("th"))
         .withColumn("mh", expr(sig))
         .select(col("doc_id"), col("is_val"), col("tk"),
+          size(col("tk")).as("ntk"),
           array_join(slice(col("mh"), 1, 4), "-").as("band0"),
           array_join(slice(col("mh"), 5, 4), "-").as("band1"))
       val sides = base
-        .select(col("doc_id"), col("is_val"),
+        .select(col("doc_id"), col("is_val"), col("ntk"),
           posexplode(array(col("band0"), col("band1")))
             .as(Seq("bi", "bkey")))
-      // candidate ids only ride the band join; token payloads re-attach
-      // AFTER the distinct so the shuffle carries fixed-width keys
+      // The banded pair stream NEVER materializes or shuffles (sf1's
+      // dup-heavy corpus produces 62M banded pairs — a 67 s gate when
+      // they rode a distinct + two shuffled attach joins + a window):
+      //  - LENGTH FILTER before anything touches an array: J >= 0.8
+      //    forces min(|a|,|b|) >= |a ∩ b| >= 0.8·|a ∪ b| >=
+      //    0.8·max(|a|,|b|), so a length-incompatible pair scores
+      //    < 0.8 and cannot reach `scored` — dropping it on two ints
+      //    is answer-preserving and integer-exact in both engines.
+      //  - NO distinct: a pair matching in both bands scores the same
+      //    jac6 twice, and the per-val-doc argmax is duplicate-blind —
+      //    the 62M-row dedup shuffle bought nothing.
+      //  - token payloads attach from BROADCAST maps of the doc table
+      //    (corpus-sized, not pair-sized), so the pair stream stays
+      //    inside one codegen stage from the band join to the argmax's
+      //    partial aggregate.
+      //  - the jaccard kernel runs ONCE per pair: jac6 >= 800000 ⟺
+      //    J >= 0.8 - 5e-7, and a distinct-token Jaccard within 5e-7
+      //    of 0.8 needs a million-token union — documents are orders
+      //    of magnitude smaller, so the integer filter is exact.
+      //  - the best match is a partial-aggregatable max(struct) (jac6
+      //    desc, train_doc asc via negation), not a window: map-side
+      //    combine collapses each partition's pairs before the only
+      //    remaining (val-doc-sized) shuffle.
       val cand = sides.filter(col("is_val"))
-        .select(col("doc_id").as("val_doc"), col("bi"), col("bkey"))
+        .select(col("doc_id").as("val_doc"), col("ntk").as("na"),
+          col("bi"), col("bkey"))
         .join(sides.filter(!col("is_val"))
-          .select(col("doc_id").as("train_doc"), col("bi"), col("bkey")),
+          .select(col("doc_id").as("train_doc"), col("ntk").as("nb"),
+            col("bi"), col("bkey")),
           Seq("bi", "bkey"))
-        .select(col("val_doc"), col("train_doc")).distinct()
-      val jac = expr("token_jaccard(tk_a, tk_b)")
+        .filter(least(col("na"), col("nb")) * 5 >=
+          greatest(col("na"), col("nb")) * 4)
+        .select(col("val_doc"), col("train_doc"))
       val scored = cand
-        .join(base.select(col("doc_id").as("val_doc"),
-          col("tk").as("tk_a")), Seq("val_doc"))
-        .join(base.select(col("doc_id").as("train_doc"),
-          col("tk").as("tk_b")), Seq("train_doc"))
-        .filter(jac >= 0.8)
+        .join(broadcast(base.select(col("doc_id").as("val_doc"),
+          col("tk").as("tk_a"))), Seq("val_doc"))
+        .join(broadcast(base.select(col("doc_id").as("train_doc"),
+          col("tk").as("tk_b"))), Seq("train_doc"))
         .select(col("val_doc"), col("train_doc"),
-          expr("CAST(FLOOR(token_jaccard(tk_a, tk_b) * 1000000 + 0.5) " +
-            "AS BIGINT)").as("jac6"))
-      val wv = Window.partitionBy(col("val_doc"))
-        .orderBy(col("jac6").desc, col("train_doc").asc)
-      val best = scored.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-        .select(col("val_doc"), col("train_doc"), col("jac6"))
+          expr("CAST(FLOOR(token_jaccard_sorted(tk_a, tk_b) * 1000000 " +
+            "+ 0.5) AS BIGINT)").as("jac6"))
+        .filter(col("jac6") >= 800000L)
+      val best = scored
+        .groupBy(col("val_doc"))
+        .agg(max(struct(col("jac6"), (-col("train_doc")).as("ntd")))
+          .as("m"))
+        .select(col("val_doc"), (-col("m.ntd")).as("train_doc"),
+          col("m.jac6").as("jac6"))
       val nVal = base.filter(col("is_val"))
         .agg(count(lit(1)).cast("bigint").as("n_val"))
       val nLeaked = best

@@ -106,28 +106,42 @@ object Round8Ops {
   // on one temp path — round-8 advice) and parsed back with a real
   // JSON parser (Jackson, on the Spark classpath), not string splits.
 
-  /** Atomically point `proot/current.json` at generation `gen`. */
+  /** Atomically point `proot/current.json` at generation `gen`;
+    * `prev` optionally names the previous generation's root (the
+    * rollback target q250's GC must retain).
+    */
   private[ops] def writePointer(
       proot: java.nio.file.Path, gen: Long, root: String,
-      n: Long): Unit = {
+      n: Long, prev: Option[String] = None): Unit = {
+    val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    val prevField =
+      prev.map(p => s""","prev":${jm.writeValueAsString(p)}""").getOrElse("")
     val tmp = java.nio.file.Files.createTempFile(proot, "current", ".tmp")
     java.nio.file.Files.writeString(tmp,
       s"""{"gen":$gen,"root":${
-        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-          .writeValueAsString(root)},"n":$n}""")
+        jm.writeValueAsString(root)},"n":$n$prevField}""")
     java.nio.file.Files.move(tmp, proot.resolve("current.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def pointerNode(proot: java.nio.file.Path) =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(
+        java.nio.file.Files.readString(proot.resolve("current.json")))
+
   /** Parse the pointed-at (gen, root) back out of `current.json`. */
   private[ops] def readPointer(
       proot: java.nio.file.Path): (Long, String) = {
-    val node = com.fasterxml.jackson.databind.json.JsonMapper.builder()
-      .build().readTree(
-        java.nio.file.Files.readString(proot.resolve("current.json")))
+    val node = pointerNode(proot)
     (node.get("gen").asLong(), node.get("root").asText())
   }
+
+  /** The pointer's named rollback target, if any. */
+  private[ops] def readPointerPrev(
+      proot: java.nio.file.Path): Option[String] =
+    Option(pointerNode(proot).get("prev")).map(_.asText())
 
   // ---------------- shared oracle machinery ---------------------------
 

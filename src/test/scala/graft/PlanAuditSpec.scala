@@ -155,7 +155,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q244_index_generation_swap",
     // q245's rollback serve rides the same pointed-serve shapes (the
     // pointer just still names v1)
-    "q245_generation_rollback")
+    "q245_generation_rollback",
+    // q249 serves q244's shapes from the compacted artifact; q250 from
+    // the GC'd pointer root — probe windows stay keyed on vec_id
+    "q249_codes_artifact_compaction", "q250_generation_gc")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -282,7 +285,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q248: the sampled codebook's member-count join broadcasts the
       // k-row sizes
       "q245_generation_rollback", "q247_batch_rank_mode_curve",
-      "q248_sampled_codebook_small")
+      "q248_sampled_codebook_small",
+      // q249/q250: the pointed serves broadcast probes/codebooks/
+      // referees exactly like q244
+      "q249_codes_artifact_compaction", "q250_generation_gc")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -34,11 +34,17 @@ FAMILIES = [
     ("asof/range join", ["q31", "q32", "q76"]),
     ("dedup family", ["q43", "q44", "q45", "q46", "q47", "q48", "q49",
                       "q53", "q114", "q134", "q139", "q141", "q174",
-                      "q193", "q200", "q204", "q206", "q208", "q209"]),
+                      "q193", "q200", "q204", "q206", "q208", "q209",
+                      "q238"]),
     ("similarity/ann", ["q50", "q51", "q52", "q59", "q74", "q75", "q140",
                         "q159", "q171", "q184", "q191", "q196", "q197",
                         "q202", "q207", "q211", "q215", "q217", "q219",
-                        "q220", "q221", "q222", "q224"]),
+                        "q220", "q221", "q222", "q224", "q248"]),
+    ("ivf-pq lifecycle (ingest/delete/curves/stream)",
+     ["q225", "q226", "q227", "q228", "q229", "q230", "q231", "q232"]),
+    ("graph ann tier (build/serve/lifecycle/deploy)",
+     ["q233", "q234", "q235", "q236", "q237", "q239", "q240", "q241",
+      "q242", "q243", "q244", "q245", "q246", "q247"]),
     ("text/corpus analysis", ["q40", "q41", "q42", "q79", "q113", "q127",
                               "q130", "q138", "q143", "q144", "q156",
                               "q157", "q177", "q179", "q183", "q190", "q203",
