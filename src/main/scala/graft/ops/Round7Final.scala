@@ -66,7 +66,8 @@ object Round7Final {
     * on-disk graph was built from this exact corpus with these exact
     * knobs. Returns the marker string plus the corpus row count (the
     * input to the bucket-count law). "v":3 = srcbFor-derived edges
-    * bucket layout (round-8 verdict task 2).
+    * bucket layout (round-8 verdict task 2); "v":4 = bucket-clustered
+    * writes (exactly one file per bucket — see writeEdges).
     */
   private def markerN(e: DataFrame, extra: String = ""): (String, Long) = {
     val r = e.select(col("vec_id"),
@@ -78,7 +79,7 @@ object Round7Final {
           .as("fp"))
       .head()
     (s"""{"n":${r.getLong(0)},"fp":${r.getLong(1)},"soft":$SOFT,""" +
-      s""""deg":$DEG,"citers":$CITERS$extra,"v":3}""", r.getLong(0))
+      s""""deg":$DEG,"citers":$CITERS$extra,"v":4}""", r.getLong(0))
   }
 
   private def marker(e: DataFrame, extra: String = ""): String =
@@ -206,6 +207,19 @@ object Round7Final {
   private val builtAux =
     scala.collection.mutable.Map.empty[(String, String, String), Unit]
 
+  /** Write a bucketed edges frame partitionBy(sb), CLUSTERING each
+    * bucket into one task first: without the cluster step every writing
+    * task opens a file in every bucket directory it holds rows for
+    * (srcb × tasks tiny files — ~8k at sf1's srcb=256, which took
+    * q237's timed rewrite from 13 s to 61 s); with it the artifact is
+    * exactly one columnar file per bucket at any srcb, and readers pay
+    * one file open per pruned bucket. The cluster shuffle is O(edges)
+    * with fixed-width rows — strictly cheaper than the file churn.
+    */
+  private def writeEdges(df: DataFrame, path: String): Unit =
+    df.repartition(col("sb")).write.mode("overwrite").partitionBy("sb")
+      .parquet(path)
+
   /** Marker-gated persisted edges artifact `<root>/<file>`: build and
     * write (bucket-partitioned with modulus `srcb`) only when the
     * stored marker mismatches `expect`; otherwise serve from the files.
@@ -219,8 +233,7 @@ object Round7Final {
         val fresh = java.nio.file.Files.exists(mk) &&
           java.nio.file.Files.readString(mk) == expect
         if (!fresh) {
-          withSb(build, srcb).write.mode("overwrite").partitionBy("sb")
-            .parquet(s"$root/$file")
+          writeEdges(withSb(build, srcb), s"$root/$file")
           java.nio.file.Files.writeString(mk, expect)
         }
       })
@@ -250,9 +263,8 @@ object Round7Final {
         if (!fresh) {
           val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
           val soft = softOf(e, centsRowOf(cb))
-          withSb(topDeg(pairsOf(soft, soft)), sb)
-            .write.mode("overwrite").partitionBy("sb")
-            .parquet(s"$p/edges")
+          writeEdges(withSb(topDeg(pairsOf(soft, soft)), sb),
+            s"$p/edges")
           // crank 0 IS the hard assignment — persisted cell-partitioned
           // for the entry-point lookup, no serve-time corpus-wide
           // assign pass, and the probe join prunes to the probed cells
@@ -855,9 +867,8 @@ object Round7Final {
           val fresh = java.nio.file.Files.exists(mk) &&
             java.nio.file.Files.readString(mk) == expect
           if (!fresh) {
-            withSb(topDeg(pairsOf(softB, softB)), sb)
-              .write.mode("overwrite").partitionBy("sb")
-              .parquet(s"$root/edges_v1")
+            writeEdges(withSb(topDeg(pairsOf(softB, softB)), sb),
+              s"$root/edges_v1")
             java.nio.file.Files.writeString(mk, expect)
           }
           (root, sb)
@@ -875,8 +886,7 @@ object Round7Final {
         .join(rsrc.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
         .unionByName(withSb(edgesRec, srcbI))
-      edgesInc.write.mode("overwrite").partitionBy("sb")
-        .parquet(s"$p/edges_v2")
+      writeEdges(edgesInc, s"$p/edges_v2")
       val edgesServe = readEdges(s, s"$p/edges_v2", srcbI)
       // ---- referee: full rebuild with the SAME base-trained codebook
       // — deterministic in (corpus, geometry), so PERSISTED like any
@@ -986,9 +996,8 @@ object Round7Final {
           if (!fresh) {
             val soft1 = softOf(e, centsRowOf(cb))
               .filter(col("vec_id") % L1MOD === 1)
-            withSb(topDeg(pairsOf(soft1, soft1)), sb)
-              .write.mode("overwrite").partitionBy("sb")
-              .parquet(s"$root/edges_l1")
+            writeEdges(withSb(topDeg(pairsOf(soft1, soft1)), sb),
+              s"$root/edges_l1")
             java.nio.file.Files.writeString(mk, expect)
           }
           (root, sb)
@@ -1121,12 +1130,10 @@ object Round7Final {
       val edgesRec = topDeg(pairsOf(softS.join(rsv, Seq("vec_id")),
         softS))
       val tombSrc = tomb.withColumnRenamed("vec_id", "src")
-      edges.join(tombSrc, Seq("src"), "left_anti")
+      writeEdges(edges.join(tombSrc, Seq("src"), "left_anti")
         .join(rsv.withColumnRenamed("vec_id", "src"), Seq("src"),
           "left_anti")
-        .unionByName(withSb(edgesRec, srcbG))
-        .write.mode("overwrite").partitionBy("sb")
-        .parquet(s"$root/edges_v2c")
+        .unionByName(withSb(edgesRec, srcbG)), s"$root/edges_v2c")
       val edgesC = readEdges(s, s"$root/edges_v2c", srcbG)
       // ---- REFEREE: fresh build over the survivors, same codebook —
       // persisted (tombstone rule is a constant, so the survivor set

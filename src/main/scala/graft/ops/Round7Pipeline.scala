@@ -99,47 +99,45 @@ object Round7Pipeline {
           array_join(slice(col("mh"), 1, 4), "-").as("band0"),
           array_join(slice(col("mh"), 5, 4), "-").as("band1"))
       val sides = base
-        .select(col("doc_id"), col("is_val"), col("ntk"),
+        .select(col("doc_id"), col("is_val"), col("ntk"), col("tk"),
           posexplode(array(col("band0"), col("band1")))
             .as(Seq("bi", "bkey")))
       // The banded pair stream NEVER materializes or shuffles (sf1's
-      // dup-heavy corpus produces 62M banded pairs — a 67 s gate when
+      // dup-heavy corpus produces 75M banded pairs — a 67 s gate when
       // they rode a distinct + two shuffled attach joins + a window):
-      //  - LENGTH FILTER before anything touches an array: J >= 0.8
-      //    forces min(|a|,|b|) >= |a ∩ b| >= 0.8·|a ∪ b| >=
-      //    0.8·max(|a|,|b|), so a length-incompatible pair scores
-      //    < 0.8 and cannot reach `scored` — dropping it on two ints
-      //    is answer-preserving and integer-exact in both engines.
+      //  - token payloads ride the SIDES through the band join (two
+      //    array-carrying rows per document — an O(docs) shuffle), so
+      //    the join output already holds both arrays and the pair
+      //    stream is pipelined map-side from the join through the
+      //    argmax's partial aggregate: no per-pair shuffle, no
+      //    corpus-table broadcast, the shape that survives 100 TB.
+      //  - LENGTH FILTER before the kernel: J >= 0.8 forces
+      //    min(|a|,|b|) >= |a ∩ b| >= 0.8·|a ∪ b| >= 0.8·max(|a|,|b|),
+      //    so a length-incompatible pair scores < 0.8 and cannot reach
+      //    `scored` — dropping it on two ints is answer-preserving and
+      //    integer-exact in both engines.
       //  - NO distinct: a pair matching in both bands scores the same
       //    jac6 twice, and the per-val-doc argmax is duplicate-blind —
-      //    the 62M-row dedup shuffle bought nothing.
-      //  - token payloads attach from BROADCAST maps of the doc table
-      //    (corpus-sized, not pair-sized), so the pair stream stays
-      //    inside one codegen stage from the band join to the argmax's
-      //    partial aggregate.
-      //  - the jaccard kernel runs ONCE per pair: jac6 >= 800000 ⟺
-      //    J >= 0.8 - 5e-7, and a distinct-token Jaccard within 5e-7
-      //    of 0.8 needs a million-token union — documents are orders
-      //    of magnitude smaller, so the integer filter is exact.
+      //    the 75M-row dedup shuffle bought nothing.
+      //  - the jaccard kernel is the sorted two-pointer merge
+      //    (TokenJaccardSorted — tk is per-doc pre-sorted) and runs
+      //    ONCE per pair: jac6 >= 800000 ⟺ J >= 0.8 - 5e-7, and a
+      //    distinct-token Jaccard within 5e-7 of 0.8 needs a
+      //    million-token union — documents are orders of magnitude
+      //    smaller, so the integer filter is exact.
       //  - the best match is a partial-aggregatable max(struct) (jac6
       //    desc, train_doc asc via negation), not a window: map-side
       //    combine collapses each partition's pairs before the only
       //    remaining (val-doc-sized) shuffle.
-      val cand = sides.filter(col("is_val"))
+      val scored = sides.filter(col("is_val"))
         .select(col("doc_id").as("val_doc"), col("ntk").as("na"),
-          col("bi"), col("bkey"))
+          col("tk").as("tk_a"), col("bi"), col("bkey"))
         .join(sides.filter(!col("is_val"))
           .select(col("doc_id").as("train_doc"), col("ntk").as("nb"),
-            col("bi"), col("bkey")),
+            col("tk").as("tk_b"), col("bi"), col("bkey")),
           Seq("bi", "bkey"))
         .filter(least(col("na"), col("nb")) * 5 >=
           greatest(col("na"), col("nb")) * 4)
-        .select(col("val_doc"), col("train_doc"))
-      val scored = cand
-        .join(broadcast(base.select(col("doc_id").as("val_doc"),
-          col("tk").as("tk_a"))), Seq("val_doc"))
-        .join(broadcast(base.select(col("doc_id").as("train_doc"),
-          col("tk").as("tk_b"))), Seq("train_doc"))
         .select(col("val_doc"), col("train_doc"),
           expr("CAST(FLOOR(token_jaccard_sorted(tk_a, tk_b) * 1000000 " +
             "+ 0.5) AS BIGINT)").as("jac6"))

@@ -65,7 +65,8 @@ object Round9More {
       .parquet(s"$dst/coarse")
     s.read.parquet(s"$src/pq").write.mode("overwrite")
       .parquet(s"$dst/pq")
-    VecIndex.readCodes(s, src).write.mode("overwrite")
+    VecIndex.readCodes(s, src).repartition(col("cid"))
+      .write.mode("overwrite")
       .partitionBy("cid").parquet(s"$dst/codes")
   }
 
