@@ -97,5 +97,15 @@ object TokenJaccardSorted {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_jaccard_sorted",
-      exprs => TokenJaccardSorted(exprs.head, exprs(1)), "built-in")
+      {
+        case Seq(a, b) => TokenJaccardSorted(a, b)
+        case exprs =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`token_jaccard_sorted`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+      }, "built-in")
 }

@@ -148,7 +148,16 @@ object Components {
     lastContractRounds = rounds.result()
     // at the fixpoint every component is a single star rooted at its
     // min: each non-root points to the root along its one edge; roots
-    // and isolated vertices label themselves
+    // and isolated vertices label themselves. The left-join below
+    // RELIES on v being unique in e — assert it and fail loud (like
+    // the round-cap path) rather than silently emit duplicate doc_ids
+    // if a non-star fixpoint ever slipped through the equality check.
+    val Array(nv, ndv) = e.agg(
+      count(col("v")), countDistinct(col("v"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nv == ndv,
+      s"contract fixpoint is not a star union: $nv edges but only " +
+        s"$ndv distinct v — labeling join would duplicate doc_ids")
     nodes
       .join(e.select(col("v").as("node"), col("u").as("root")),
         Seq("node"), "left")

@@ -815,6 +815,11 @@ object Round6Ops {
       while (tries < 40 && empty) {
         Thread.sleep(250); q.processAllAvailable(); tries += 1
       }
+      if (empty)
+        throw new IllegalStateException(
+          s"stream drain wrote no batch to $out after ${tries} retries" +
+            " — file-source discovery race persisted past 10s (or the" +
+            " source is genuinely empty, which these gates never are)")
     } finally q.stop()
   }
 

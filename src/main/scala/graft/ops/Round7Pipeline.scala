@@ -66,15 +66,15 @@ object Round7Pipeline {
          |  WHERE v.is_val AND NOT t.is_val
          |    AND LEAST(v.ntk, t.ntk) * 5 >= GREATEST(v.ntk, t.ntk) * 4),
          |scored AS MATERIALIZED (
-         |  SELECT c.val_doc, c.train_doc,
-         |    CAST(FLOOR(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.tk, b.tk)))
-         |      * 1000000 + 0.5) AS BIGINT) AS jac6
-         |  FROM cand c
-         |  JOIN sg a ON a.doc_id = c.val_doc
-         |  JOIN sg b ON b.doc_id = c.train_doc
-         |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+         |  SELECT * FROM (
+         |    SELECT c.val_doc, c.train_doc,
+         |      CAST(FLOOR(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.tk, b.tk)))
+         |        * 1000000 + 0.5) AS BIGINT) AS jac6
+         |    FROM cand c
+         |    JOIN sg a ON a.doc_id = c.val_doc
+         |    JOIN sg b ON b.doc_id = c.train_doc)
+         |  WHERE jac6 >= 800000),
          |best AS (SELECT val_doc, train_doc, jac6 FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY val_doc
          |    ORDER BY jac6 DESC, train_doc ASC) AS rn FROM scored)

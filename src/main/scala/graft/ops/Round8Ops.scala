@@ -82,14 +82,14 @@ object Round8Ops {
       s: SparkSession, edges: DataFrame, entries: DataFrame,
       topB: DataFrame => DataFrame): DataFrame = {
     var visited = pin(s)(entries)
+    val srcb = Round7Final.srcbOf(edges)
     for (_ <- 1 to Round7Final.HOPS) {
       val frQ = topB(visited)
       val frRows = frQ.collect()
       val frDf = s.createDataFrame(
           java.util.Arrays.asList(frRows: _*), frQ.schema)
         .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(0) % Round7Final.srcbOf(edges))
-        .distinct.toSeq
+      val buckets = frRows.map(_.getLong(0) % srcb).distinct.toSeq
       val nbrs = edges.filter(col("sb").isin(buckets: _*))
         .join(broadcast(frDf), Seq("src"))
         .select(col("dst").as("vec_id"))

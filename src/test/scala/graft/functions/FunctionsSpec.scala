@@ -71,4 +71,13 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("token_jaccard_sorted wrong arity raises a readable analysis error") {
+    TokenJaccardSorted.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_jaccard_sorted(array('a'))").collect()
+    }
+    assert(e.getMessage.contains("token_jaccard_sorted"))
+    assert(e.getMessage.contains("2"))
+  }
 }
