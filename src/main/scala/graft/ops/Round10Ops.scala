@@ -175,57 +175,85 @@ object Round10Ops {
     },
 
     // Pipeline/serving: padding waste of fixed-size inference batches.
-    // Two batching strategies over the same corpus: 'arrival' (doc_id
-    // order — what a naive reader does) and 'sorted' (token-length
-    // order — the standard bucketing pass). Batch width = max token
-    // count in the batch; every shorter doc pads to it. fill6 is the
-    // batch's useful-token fraction in fixed point. The final ORDER BY
-    // shows the sorted strategy's uniformly higher fill — the measured
+    // Batching is PER SOURCE SHARD (each data-loader reader owns a
+    // shard — the window is keyed on source, never a global sort) with
+    // two strategies inside each shard: 'arrival' (doc_id order — what
+    // a naive reader does) and 'sorted' (token-length order — the
+    // standard bucketing pass). Batch width = max token count in the
+    // batch; every shorter doc pads to it; fill6 is the useful-token
+    // fraction in fixed point. The aggregate rows (batch = -1 per
+    // strategy) carry the corpus-level padding totals — the measured
     // argument for length bucketing before GPU inference.
     Q(
       "q252_length_bucket_batching",
       s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
          |  FROM documents),
          |arrival AS (
-         |  SELECT 'arrival' AS strategy,
-         |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // $BATCH AS batch,
+         |  SELECT 'arrival' AS strategy, source,
+         |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+         |      // $BATCH AS batch,
          |    doc_id, ntk
          |  FROM toks),
          |srt AS (
-         |  SELECT 'sorted' AS strategy,
-         |    (ROW_NUMBER() OVER (ORDER BY ntk, doc_id) - 1) // $BATCH AS batch,
+         |  SELECT 'sorted' AS strategy, source,
+         |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntk, doc_id)
+         |      - 1) // $BATCH AS batch,
          |    doc_id, ntk
          |  FROM toks),
-         |both_s AS (SELECT * FROM arrival UNION ALL SELECT * FROM srt)
-         |SELECT strategy, CAST(batch AS BIGINT) AS batch,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(MAX(ntk) AS BIGINT) AS width,
-         |  CAST(MAX(ntk) * COUNT(*) - SUM(ntk) AS BIGINT) AS pad_tokens,
-         |  CAST(FLOOR(CAST(SUM(ntk) AS DOUBLE) * 1000000
-         |    / (MAX(ntk) * COUNT(*))) AS BIGINT) AS fill6
-         |FROM both_s
-         |GROUP BY strategy, batch
-         |ORDER BY strategy, batch""".stripMargin) { (s, dir) =>
+         |both_s AS (SELECT * FROM arrival UNION ALL SELECT * FROM srt),
+         |per_batch AS (
+         |  SELECT strategy, source, CAST(batch AS BIGINT) AS batch,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(MAX(ntk) AS BIGINT) AS width,
+         |    CAST(MAX(ntk) * COUNT(*) - SUM(ntk) AS BIGINT) AS pad_tokens,
+         |    CAST(FLOOR(CAST(SUM(ntk) AS DOUBLE) * 1000000
+         |      / (MAX(ntk) * COUNT(*))) AS BIGINT) AS fill6
+         |  FROM both_s
+         |  GROUP BY strategy, source, batch),
+         |tot AS (
+         |  SELECT strategy, '*' AS source, CAST(-1 AS BIGINT) AS batch,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(MAX(width) AS BIGINT) AS width,
+         |    CAST(SUM(pad_tokens) AS BIGINT) AS pad_tokens,
+         |    CAST(FLOOR(CAST(SUM(width * n_docs - pad_tokens) AS DOUBLE)
+         |      * 1000000 / SUM(width * n_docs)) AS BIGINT) AS fill6
+         |  FROM per_batch GROUP BY strategy)
+         |SELECT * FROM per_batch
+         |UNION ALL SELECT * FROM tot
+         |ORDER BY strategy, source, batch""".stripMargin) { (s, dir) =>
       val toks = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("bigint").as("ntk"))
-      def strat(name: String, w: Window.type => org.apache.spark.sql.expressions.WindowSpec) =
+      def strat(name: String, ord: Seq[org.apache.spark.sql.Column]) =
         toks.withColumn("batch",
-            ((row_number().over(w(Window)) - 1) / BATCH)
-              .cast("bigint"))
+            ((row_number().over(Window.partitionBy(col("source"))
+              .orderBy(ord: _*)) - 1) / BATCH).cast("bigint"))
           .withColumn("strategy", lit(name))
-      val arrival = strat("arrival", _.orderBy(col("doc_id")))
-      val sorted = strat("sorted", _.orderBy(col("ntk"), col("doc_id")))
-      arrival.unionByName(sorted)
-        .groupBy(col("strategy"), col("batch"))
+      val arrival = strat("arrival", Seq(col("doc_id")))
+      val sorted = strat("sorted", Seq(col("ntk"), col("doc_id")))
+      val perBatch = arrival.unionByName(sorted)
+        .groupBy(col("strategy"), col("source"), col("batch"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           max(col("ntk")).cast("bigint").as("width"),
           (max(col("ntk")) * count(lit(1)) - sum(col("ntk")))
             .cast("bigint").as("pad_tokens"),
           floor(sum(col("ntk")).cast("double") * 1000000
             / (max(col("ntk")) * count(lit(1)))).cast("bigint").as("fill6"))
-        .orderBy(col("strategy"), col("batch"))
+      val tot = perBatch.groupBy(col("strategy"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          max(col("width")).cast("bigint").as("width"),
+          sum(col("pad_tokens")).cast("bigint").as("pad_tokens"),
+          floor(sum(col("width") * col("n_docs") - col("pad_tokens"))
+            .cast("double") * 1000000
+            / sum(col("width") * col("n_docs"))).cast("bigint").as("fill6"))
+        .withColumn("source", lit("*"))
+        .withColumn("batch", lit(-1L))
+      val cols = Seq("strategy", "source", "batch", "n_docs", "width",
+        "pad_tokens", "fill6").map(col)
+      perBatch.select(cols: _*).unionByName(tot.select(cols: _*))
+        .orderBy(col("strategy"), col("source"), col("batch"))
     },
 
     // Governance: k-anonymity with a generalization ladder. Level 0
