@@ -164,7 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (per-shard batch numbering, never a global sort); the CDC
     // rolling-hash and chunk-index windows stay keyed on doc_id
     "q251_retrieval_metrics", "q252_length_bucket_batching",
-    "q258_cdc_chunk_dedup")
+    "q258_cdc_chunk_dedup",
+    // q257: both arms' top-10 and probe windows stay PARTITIONED BY qid
+    "q257_shadow_ab_serve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -300,7 +302,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q253's failing-group lists broadcast into the regroup joins;
       // q258's one-row totals broadcast into the top-chunk rows
       "q251_retrieval_metrics", "q253_k_anonymity",
-      "q258_cdc_chunk_dedup")
+      "q258_cdc_chunk_dedup",
+      // q257: codebook, probe lists, query batch, shared referee and
+      // the one-row tally all ride broadcasts in both arms
+      "q257_shadow_ab_serve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

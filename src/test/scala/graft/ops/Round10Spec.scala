@@ -123,6 +123,25 @@ class Round10Spec extends AnyFunSuite {
       }
   }
 
+  test("q257: the A/B tally is consistent with the per-query winners") {
+    assume(available)
+    val rows = run("q257_shadow_ab_serve").collect()
+    assert(rows.nonEmpty)
+    val wins = rows.map(_.getAs[Long]("winner"))
+    val (g, i, t) = (rows.head.getAs[Long]("n_graph_wins"),
+      rows.head.getAs[Long]("n_ivf_wins"), rows.head.getAs[Long]("n_ties"))
+    assert(g == wins.count(_ == 1L))
+    assert(i == wins.count(_ == -1L))
+    assert(t == wins.count(_ == 0L))
+    assert(g + i + t == rows.length)
+    rows.foreach { r =>
+      val (hg, hi) = (r.getAs[Long]("hits_graph"), r.getAs[Long]("hits_ivf"))
+      val expect = if (hg > hi) 1L else if (hi > hg) -1L else 0L
+      assert(r.getAs[Long]("winner") == expect)
+      assert(hg >= 0 && hg <= 10 && hi >= 0 && hi <= 10)
+    }
+  }
+
   test("q258: an edit re-chunks only its neighborhood (CDC locality)") {
     assume(available)
     import spark.implicits._
