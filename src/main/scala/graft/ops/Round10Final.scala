@@ -15,11 +15,26 @@ import graft.Tables
   *    the shadow-deployment readout that decides which tier a
   *    rollout promotes: recall parity per query, candidate-set cost
   *    side by side, no second referee pass.
+  *  - q259 OPERATING-POINT AUTO-TUNER: q226's measured probe curve
+  *    closed into a decision — the smallest nprobe whose batch recall
+  *    clears the 0.9 target (full scan as the fallback), selected
+  *    in-band from the same curve both engines compute. Tuning by
+  *    measurement, not by guessing a constant.
+  *  - q260 CELL-DRIFT MONITOR: the index-health readout that decides
+  *    WHEN to retrain — per-cell occupancy of the early vs late
+  *    corpus half under the serving codebook, integer-exact
+  *    cross-multiplied share drift, total-variation distance, and
+  *    the retrain trigger flag.
   *
   * Reference scope: PalNilsson/ask-duckdb has no index tiers; 100 TB
   * training-data mandate (serving-infrastructure family).
   */
 object Round10Final {
+
+  /** q259's recall target: ceil(0.9 · QN·10) referee hits. */
+  private val TGT: Long = (Round7Ops.QN * 10 * 9 + 9) / 10
+
+  private val DRIFT_THRESH = 100000L // q260: retrain at TVD >= 0.1
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -168,5 +183,101 @@ object Round10Final {
         sum(when(col("winner") === 0, 1L).otherwise(0L)).cast("bigint")
           .as("n_ties"))
       perq.crossJoin(broadcast(tly)).orderBy(col("qid"))
+    },
+
+    // E7/tuning: pick the operating point FROM the measured curve —
+    // smallest nprobe meeting the hit target, full scan (max level)
+    // if none does. The curve rows ride along so the decision is
+    // auditable against the evidence that produced it.
+    Q(
+      "q259_operating_point",
+      s"""WITH ${Round7Ops.probeCurveCtes},
+         |sel AS (
+         |  SELECT CAST(COALESCE(MIN(CASE WHEN hits >= $TGT
+         |    THEN nprobe END), MAX(nprobe)) AS BIGINT) AS chosen_nprobe
+         |  FROM curve)
+         |SELECT c.nprobe, c.n_cand, c.hits, c.mean_recall_at_10,
+         |  CAST(CASE WHEN c.nprobe = s.chosen_nprobe THEN 1 ELSE 0 END
+         |    AS BIGINT) AS selected,
+         |  s.chosen_nprobe, CAST($TGT AS BIGINT) AS target_hits
+         |FROM curve c, sel s
+         |ORDER BY c.nprobe""".stripMargin) { (s, dir) =>
+      val curve = Round7Ops.probeCurveFrame(s, dir)
+      val sel = curve.agg(
+        coalesce(min(when(col("hits") >= TGT, col("nprobe"))),
+          max(col("nprobe"))).cast("bigint").as("chosen_nprobe"))
+      curve.crossJoin(broadcast(sel))
+        .select(col("nprobe"), col("n_cand"), col("hits"),
+          col("mean_recall_at_10"),
+          (col("nprobe") === col("chosen_nprobe")).cast("bigint")
+            .as("selected"),
+          col("chosen_nprobe"), lit(TGT).cast("bigint").as("target_hits"))
+        .orderBy(col("nprobe"))
+    },
+
+    // E7/monitoring: per-cell occupancy drift between the early and
+    // late corpus halves under the serving codebook. Share drift is
+    // integer-exact (cross-multiplied counts; overflows only past
+    // ~3e9 rows per cohort — a cluster run folds the comparison
+    // per-partition first), TVD in fixed point, and the retrain flag
+    // the index-maintenance scheduler consumes. On this stationary
+    // synthetic corpus the flag must read 0 — the monitor's negative
+    // control.
+    Q(
+      "q260_cell_drift_monitor",
+      s"""WITH ${KMeans.kkCte()},
+         |${KMeans.oracleCtes(KMeans.duckK, Round7Ops.CITERS)},
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |assign AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings e, cl${Round7Ops.CITERS} c),
+         |lists AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM assign WHERE rn = 1),
+         |coh AS MATERIALIZED (
+         |  SELECT l.cid,
+         |    CAST(SUM(CASE WHEN l.vec_id < nn.n // 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_early,
+         |    CAST(SUM(CASE WHEN l.vec_id >= nn.n // 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_late
+         |  FROM lists l, nn GROUP BY l.cid),
+         |tot AS (SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+         |  CAST(SUM(n_late) AS BIGINT) AS tl FROM coh),
+         |per AS (
+         |  SELECT c.cid, c.n_early, c.n_late,
+         |    CAST(FLOOR(CAST(ABS(c.n_early * t.tl - c.n_late * t.te)
+         |      AS DOUBLE) * 1000000 / (t.te * t.tl)) AS BIGINT) AS drift6
+         |  FROM coh c, tot t),
+         |tv AS (
+         |  SELECT CAST(SUM(drift6) // 2 AS BIGINT) AS tvd6,
+         |    CAST(CASE WHEN SUM(drift6) // 2 >= $DRIFT_THRESH
+         |      THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |  FROM per)
+         |SELECT p.cid, p.n_early, p.n_late, p.drift6, t.tvd6, t.retrain
+         |FROM per p, tv t
+         |ORDER BY p.cid""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val cb = KMeans.codebook(s, e, KMeans.servingK(e), Round7Ops.CITERS)
+      val half = e.count() / 2
+      val coh = KMeans.assign(e, cb)
+        .groupBy(col("cid"))
+        .agg(sum(when(col("vec_id") < half, 1L).otherwise(0L))
+          .cast("bigint").as("n_early"),
+          sum(when(col("vec_id") >= half, 1L).otherwise(0L))
+            .cast("bigint").as("n_late"))
+      val tot = coh.agg(sum(col("n_early")).cast("bigint").as("te"),
+        sum(col("n_late")).cast("bigint").as("tl"))
+      val per = coh.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_early"), col("n_late"),
+          floor(abs(col("n_early") * col("tl") - col("n_late") * col("te"))
+            .cast("double") * 1000000 / (col("te") * col("tl")))
+            .cast("bigint").as("drift6"))
+      val tv = per.agg(
+        expr("CAST(SUM(drift6) DIV 2 AS BIGINT)").as("tvd6"),
+        expr(s"CAST(CASE WHEN SUM(drift6) DIV 2 >= $DRIFT_THRESH " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("retrain"))
+      per.crossJoin(broadcast(tv)).orderBy(col("cid"))
     })
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -42,9 +42,9 @@ import graft.Tables
   */
 object Round7Ops {
 
-  private val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
+  private[ops] val CITERS = 2 // coarse Lloyd iterations (q74 geometry)
   private val NPROBE = 2 // probed cells per query
-  private val QN = 32 // q226 query-batch size (q217's batch)
+  private[ops] val QN = 32 // q226 query-batch size (q217's batch)
   private val P = 1000000007L // fingerprint modulus
 
   // ---- order-independent artifact fingerprint (q198/q212 discipline:
@@ -233,6 +233,141 @@ object Round7Ops {
       .orderBy(col("adc").desc, col("vec_id").asc)
   }
 
+  /** q226's probe-curve oracle CTE chain, ending in
+    * `curve(nprobe, n_cand, hits, mean_recall_at_10)` — shared with
+    * q259's operating-point auto-tuner.
+    */
+  private[ops] val probeCurveCtes: String =
+    s"""${KMeans.kkCte()},
+       |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
+       |assign AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
+       |        c.cid ASC) AS rn
+       |  FROM embeddings e, cl$CITERS c),
+       |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
+       |qb AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
+       |    ${Pq.duckScaled("embedding")} AS qs
+       |  FROM embeddings WHERE vec_id < $QN),
+       |prank AS MATERIALIZED (
+       |  SELECT q.qid, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
+       |        c.cid ASC) AS rn
+       |  FROM qb q, cl$CITERS c),
+       |levels AS (
+       |  SELECT DISTINCT LEAST(CAST(1 AS BIGINT) << g, k) AS nprobe
+       |  FROM (SELECT unnest(generate_series(0, 30)) AS g), kk),
+       |sizes AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM lists GROUP BY cid),
+       |cellrank AS MATERIALIZED (
+       |  SELECT p.qid, p.rn, COALESCE(s.sz, 0) AS sz
+       |  FROM prank p LEFT JOIN sizes s ON p.cid = s.cid),
+       |own AS (
+       |  SELECT p.rn AS ownrn FROM qb q
+       |  JOIN lists l ON l.vec_id = q.qid
+       |  JOIN prank p ON p.qid = q.qid AND p.cid = l.cid),
+       |tope AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, v.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
+                "q.qs")} DESC, v.vec_id ASC) AS rn
+       |    FROM embeddings v, qb q WHERE v.vec_id <> q.qid)
+       |  WHERE rn <= 10),
+       |toprn AS MATERIALIZED (
+       |  SELECT t.qid, p.rn FROM tope t
+       |  JOIN lists l ON t.vec_id = l.vec_id
+       |  JOIN prank p ON p.qid = t.qid AND p.cid = l.cid),
+       |nc AS (
+       |  SELECT lv.nprobe, CAST(SUM(CASE WHEN c.rn <= lv.nprobe
+       |    THEN c.sz ELSE 0 END) AS BIGINT) AS gross
+       |  FROM levels lv, cellrank c GROUP BY lv.nprobe),
+       |selfc AS (
+       |  SELECT lv.nprobe, CAST(COUNT(o.ownrn) AS BIGINT) AS selfn
+       |  FROM levels lv LEFT JOIN own o ON o.ownrn <= lv.nprobe
+       |  GROUP BY lv.nprobe),
+       |ht AS (
+       |  SELECT lv.nprobe, CAST(COUNT(t.rn) AS BIGINT) AS hits
+       |  FROM levels lv LEFT JOIN toprn t ON t.rn <= lv.nprobe
+       |  GROUP BY lv.nprobe),
+       |curve AS MATERIALIZED (
+       |  SELECT n.nprobe, n.gross - s.selfn AS n_cand, h.hits,
+       |    CAST(h.hits AS DOUBLE) / ${QN * 10} AS mean_recall_at_10
+       |  FROM nc n JOIN selfc s ON n.nprobe = s.nprobe
+       |  JOIN ht h ON n.nprobe = h.nprobe)""".stripMargin
+
+  /** q226's probe-curve computation (nprobe, n_cand, hits,
+    * mean_recall_at_10 per nprobe level), ordered by nprobe — the
+    * Spark side of [[probeCurveCtes]], shared with q259.
+    */
+  private[ops] def probeCurveFrame(s: SparkSession, dir: String)
+      : DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+    val ck = KMeans.servingK(e)
+    val coarse = KMeans.codebook(s, e, ck, CITERS)
+    val lists = KMeans.assign(e, coarse)
+      .select(col("vec_id"), col("cid"))
+    val qb = e.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        expr(KMeans.scaleExpr("embedding")).as("qs"))
+    // full per-query probe RANKING of all CK cells
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val prank = qb.crossJoin(broadcast(coarse))
+      .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
+      .withColumn("rn", row_number().over(wp))
+      .select(col("qid"), col("cid"), col("rn"))
+    import s.implicits._
+    val levels = (0 to 30).map(g => math.min(1L << g, ck.toLong))
+      .distinct.sorted.toDF("nprobe")
+    val sizes = lists.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    // (query × cell) rank table with cell sizes — O(QN·CK) rows
+    val cellrank = prank.join(sizes, Seq("cid"), "left")
+      .select(col("qid"), col("rn"),
+        coalesce(col("sz"), lit(0L)).as("sz"))
+    // each query's own cell's probe rank (its vector must not count
+    // as its own candidate)
+    val own = qb.select(col("qid"))
+      .join(lists.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+      .join(prank, Seq("qid", "cid"))
+      .select(col("rn").as("ownrn"))
+    // the ONE full-scan referee: per-query exact top-10, cell-ranked
+    val wex = Window.partitionBy(col("qid"))
+      .orderBy(col("d").desc, col("vec_id").asc)
+    val tope = e
+      .select(col("vec_id"), expr(KMeans.scaleExpr("embedding"))
+        .as("sv"))
+      .crossJoin(broadcast(qb.select(col("qid"), col("qs"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", expr(Pq.intDot("sv", "qs")))
+      .withColumn("ern", row_number().over(wex))
+      .filter(col("ern") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val toprn = tope.join(lists, Seq("vec_id"))
+      .join(broadcast(prank), Seq("qid", "cid"))
+      .select(col("qid"), col("rn"))
+    val nc = levels.crossJoin(broadcast(cellrank))
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("rn") <= col("nprobe"), col("sz"))
+        .otherwise(0L)).cast("bigint").as("gross"))
+    val selfc = levels.join(broadcast(own),
+        col("ownrn") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("ownrn")).as("selfn"))
+    val ht = levels.join(broadcast(toprn),
+        col("rn") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("rn")).as("hits"))
+    nc.join(selfc, Seq("nprobe")).join(ht, Seq("nprobe"))
+      .select(col("nprobe"),
+        (col("gross") - col("selfn")).as("n_cand"), col("hits"),
+        (col("hits").cast("double") / (QN * 10))
+          .as("mean_recall_at_10"))
+      .orderBy(col("nprobe"))
+  }
+
   val queries: Seq[Q] = Seq(
     // E7: INCREMENTAL INDEX INGEST — the daily operation of a 100 TB
     // index: the corpus splits 80/20 into base (the index was trained
@@ -274,127 +409,10 @@ object Round7Ops {
     // 1.0 for EVERY query — the spec-enforced self-check.
     Q(
       "q226_batch_probe_curve",
-      s"""WITH ${KMeans.kkCte()},
-         |${KMeans.oracleCtes(KMeans.duckK, CITERS)},
-         |assign AS MATERIALIZED (
-         |  SELECT e.vec_id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${KMeans.duckDot("e.embedding", "c.cs")} DESC,
-         |        c.cid ASC) AS rn
-         |  FROM embeddings e, cl$CITERS c),
-         |lists AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE rn = 1),
-         |qb AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
-         |    ${Pq.duckScaled("embedding")} AS qs
-         |  FROM embeddings WHERE vec_id < $QN),
-         |prank AS MATERIALIZED (
-         |  SELECT q.qid, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY q.qid
-         |      ORDER BY ${KMeans.duckDot("q.qe", "c.cs")} DESC,
-         |        c.cid ASC) AS rn
-         |  FROM qb q, cl$CITERS c),
-         |levels AS (
-         |  SELECT DISTINCT LEAST(CAST(1 AS BIGINT) << g, k) AS nprobe
-         |  FROM (SELECT unnest(generate_series(0, 30)) AS g), kk),
-         |sizes AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
-         |  FROM lists GROUP BY cid),
-         |cellrank AS MATERIALIZED (
-         |  SELECT p.qid, p.rn, COALESCE(s.sz, 0) AS sz
-         |  FROM prank p LEFT JOIN sizes s ON p.cid = s.cid),
-         |own AS (
-         |  SELECT p.rn AS ownrn FROM qb q
-         |  JOIN lists l ON l.vec_id = q.qid
-         |  JOIN prank p ON p.qid = q.qid AND p.cid = l.cid),
-         |tope AS MATERIALIZED (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT q.qid, v.vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.qid
-         |        ORDER BY ${Pq.duckIntDot(Pq.duckScaled("v.embedding"),
-                  "q.qs")} DESC, v.vec_id ASC) AS rn
-         |    FROM embeddings v, qb q WHERE v.vec_id <> q.qid)
-         |  WHERE rn <= 10),
-         |toprn AS MATERIALIZED (
-         |  SELECT t.qid, p.rn FROM tope t
-         |  JOIN lists l ON t.vec_id = l.vec_id
-         |  JOIN prank p ON p.qid = t.qid AND p.cid = l.cid),
-         |nc AS (
-         |  SELECT lv.nprobe, CAST(SUM(CASE WHEN c.rn <= lv.nprobe
-         |    THEN c.sz ELSE 0 END) AS BIGINT) AS gross
-         |  FROM levels lv, cellrank c GROUP BY lv.nprobe),
-         |selfc AS (
-         |  SELECT lv.nprobe, CAST(COUNT(o.ownrn) AS BIGINT) AS selfn
-         |  FROM levels lv LEFT JOIN own o ON o.ownrn <= lv.nprobe
-         |  GROUP BY lv.nprobe),
-         |ht AS (
-         |  SELECT lv.nprobe, CAST(COUNT(t.rn) AS BIGINT) AS hits
-         |  FROM levels lv LEFT JOIN toprn t ON t.rn <= lv.nprobe
-         |  GROUP BY lv.nprobe)
-         |SELECT n.nprobe, n.gross - s.selfn AS n_cand, h.hits,
-         |  CAST(h.hits AS DOUBLE) / ${QN * 10} AS mean_recall_at_10
-         |FROM nc n JOIN selfc s ON n.nprobe = s.nprobe
-         |JOIN ht h ON n.nprobe = h.nprobe
-         |ORDER BY n.nprobe""".stripMargin) { (s, dir) =>
-      val e = Tables.table(s, dir, "embeddings")
-      val ck = KMeans.servingK(e)
-      val coarse = KMeans.codebook(s, e, ck, CITERS)
-      val lists = KMeans.assign(e, coarse)
-        .select(col("vec_id"), col("cid"))
-      val qb = e.filter(col("vec_id") < QN)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          expr(KMeans.scaleExpr("embedding")).as("qs"))
-      // full per-query probe RANKING of all CK cells
-      val wp = Window.partitionBy(col("qid"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val prank = qb.crossJoin(broadcast(coarse))
-        .withColumn("cdot", expr(KMeans.dotFold("qe", "cs")))
-        .withColumn("rn", row_number().over(wp))
-        .select(col("qid"), col("cid"), col("rn"))
-      import s.implicits._
-      val levels = (0 to 30).map(g => math.min(1L << g, ck.toLong))
-        .distinct.sorted.toDF("nprobe")
-      val sizes = lists.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
-      // (query × cell) rank table with cell sizes — O(QN·CK) rows
-      val cellrank = prank.join(sizes, Seq("cid"), "left")
-        .select(col("qid"), col("rn"),
-          coalesce(col("sz"), lit(0L)).as("sz"))
-      // each query's own cell's probe rank (its vector must not count
-      // as its own candidate)
-      val own = qb.select(col("qid"))
-        .join(lists.withColumnRenamed("vec_id", "qid"), Seq("qid"))
-        .join(prank, Seq("qid", "cid"))
-        .select(col("rn").as("ownrn"))
-      // the ONE full-scan referee: per-query exact top-10, cell-ranked
-      val wex = Window.partitionBy(col("qid"))
-        .orderBy(col("d").desc, col("vec_id").asc)
-      val tope = e
-        .select(col("vec_id"), expr(KMeans.scaleExpr("embedding"))
-          .as("sv"))
-        .crossJoin(broadcast(qb.select(col("qid"), col("qs"))))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("d", expr(Pq.intDot("sv", "qs")))
-        .withColumn("ern", row_number().over(wex))
-        .filter(col("ern") <= 10)
-        .select(col("qid"), col("vec_id"))
-      val toprn = tope.join(lists, Seq("vec_id"))
-        .join(broadcast(prank), Seq("qid", "cid"))
-        .select(col("qid"), col("rn"))
-      val nc = levels.crossJoin(broadcast(cellrank))
-        .groupBy(col("nprobe"))
-        .agg(sum(when(col("rn") <= col("nprobe"), col("sz"))
-          .otherwise(0L)).cast("bigint").as("gross"))
-      val selfc = levels.join(broadcast(own),
-          col("ownrn") <= col("nprobe"), "left")
-        .groupBy(col("nprobe"))
-        .agg(count(col("ownrn")).as("selfn"))
-      val ht = levels.join(broadcast(toprn),
-          col("rn") <= col("nprobe"), "left")
-        .groupBy(col("nprobe"))
-        .agg(count(col("rn")).as("hits"))
-      nc.join(selfc, Seq("nprobe")).join(ht, Seq("nprobe"))
-        .select(col("nprobe"),
-          (col("gross") - col("selfn")).as("n_cand"), col("hits"),
-          (col("hits").cast("double") / (QN * 10))
-            .as("mean_recall_at_10"))
-        .orderBy(col("nprobe"))
+      s"""WITH $probeCurveCtes
+         |SELECT nprobe, n_cand, hits, mean_recall_at_10 FROM curve
+         |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      probeCurveFrame(s, dir)
     },
 
     // E7: INDEX DELETE + COMPACTION — the scrub path: a deterministic

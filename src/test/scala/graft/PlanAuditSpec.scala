@@ -166,7 +166,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q251_retrieval_metrics", "q252_length_bucket_batching",
     "q258_cdc_chunk_dedup",
     // q257: both arms' top-10 and probe windows stay PARTITIONED BY qid
-    "q257_shadow_ab_serve")
+    "q257_shadow_ab_serve",
+    // q259 rides q226's curve shapes (qid-keyed probe-rank + referee
+    // windows); q260's assignment window stays keyed on vec_id
+    "q259_operating_point", "q260_cell_drift_monitor")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -305,7 +308,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q258_cdc_chunk_dedup",
       // q257: codebook, probe lists, query batch, shared referee and
       // the one-row tally all ride broadcasts in both arms
-      "q257_shadow_ab_serve")
+      "q257_shadow_ab_serve",
+      // q259: the curve's codebook/rank tables and the one-row
+      // selection broadcast; q260: the codebook and one-row totals/
+      // verdict broadcast into the per-cell rows
+      "q259_operating_point", "q260_cell_drift_monitor")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -142,6 +142,35 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("q259: the chosen operating point is the cheapest that clears " +
+    "the target") {
+    assume(available)
+    val rows = run("q259_operating_point").collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    val tgt = rows.head.getAs[Long]("target_hits")
+    val chosen = rows.head.getAs[Long]("chosen_nprobe")
+    val meeting = rows.filter(_.getAs[Long]("hits") >= tgt)
+      .map(_.getAs[Long]("nprobe"))
+    if (meeting.nonEmpty) assert(chosen == meeting.min)
+    else assert(chosen == rows.map(_.getAs[Long]("nprobe")).max)
+    assert(rows.count(_.getAs[Long]("selected") == 1L) == 1)
+    assert(rows.find(_.getAs[Long]("nprobe") == chosen)
+      .get.getAs[Long]("selected") == 1L)
+  }
+
+  test("q260: cohorts partition the corpus and the stationary corpus " +
+    "does not trigger a retrain") {
+    assume(available)
+    val rows = run("q260_cell_drift_monitor").collect()
+    val n = graft.Tables.table(spark, dir, "embeddings").count()
+    assert(rows.map(r => r.getAs[Long]("n_early") + r.getAs[Long]("n_late"))
+      .sum == n)
+    assert(rows.map(_.getAs[Long]("retrain")).distinct.toSeq == Seq(0L))
+    val tvd = rows.head.getAs[Long]("tvd6")
+    assert(tvd >= 0 && tvd <= 1000000L)
+    assert(tvd == rows.map(_.getAs[Long]("drift6")).sum / 2)
+  }
+
   test("q258: an edit re-chunks only its neighborhood (CDC locality)") {
     assume(available)
     import spark.implicits._
