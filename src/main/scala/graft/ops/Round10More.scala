@@ -267,15 +267,20 @@ object Round10More {
          |  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents")
+      val raw = Tables.table(s, dir, "documents")
+      // corpus-derived base/delta split (80/20) so the delta stays a
+      // delta at every SF; the oracle's full recompute is
+      // split-agnostic, so the merge must match it for ANY cut
+      val cut = raw.count() * 4 / 5
+      val docs = raw
         .withColumn("th", expr(Dedup.sparkTokenHashes))
         .withColumn("mh", expr(mhSig))
         .select(col("doc_id"),
           posexplode(array(
             array_join(slice(col("mh"), 1, 4), "-"),
             array_join(slice(col("mh"), 5, 4), "-"))).as(Seq("bi", "bkey")))
-      val base = docs.filter(col("doc_id") < 400)
-      val delta = docs.filter(col("doc_id") >= 400)
+      val base = docs.filter(col("doc_id") < cut)
+      val delta = docs.filter(col("doc_id") >= cut)
       // persisted band index of the base corpus: bucket -> representative
       val baseIdx = base.groupBy(col("bi"), col("bkey"))
         .agg(min(col("doc_id")).as("root"))
