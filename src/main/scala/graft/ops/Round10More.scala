@@ -272,13 +272,18 @@ object Round10More {
       // delta at every SF; the oracle's full recompute is
       // split-agnostic, so the merge must match it for ANY cut
       val cut = raw.count() * 4 / 5
-      val docs = raw
+      // pin the banded signatures: every branch below (base index,
+      // base edges, delta index, delta edges) reads them, and without
+      // the checkpoint each action re-hashes the whole corpus
+      val sigs = raw
         .withColumn("th", expr(Dedup.sparkTokenHashes))
         .withColumn("mh", expr(mhSig))
         .select(col("doc_id"),
           posexplode(array(
             array_join(slice(col("mh"), 1, 4), "-"),
             array_join(slice(col("mh"), 5, 4), "-"))).as(Seq("bi", "bkey")))
+        .localCheckpoint(true)
+      val docs = s.createDataFrame(sigs.rdd, sigs.schema)
       val base = docs.filter(col("doc_id") < cut)
       val delta = docs.filter(col("doc_id") >= cut)
       // persisted band index of the base corpus: bucket -> representative
