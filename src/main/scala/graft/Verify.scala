@@ -6,9 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter (local tooling;
-    // the driver always calls with two args = full dump)
-    val only = args.lift(2).map(_.split(",").toSet)
+    // optional args 3..n: query-name filter, comma- or space-separated
+    // (local tooling; the driver always calls with two args = full
+    // dump). Unknown names fail loud — a typo'd filter silently
+    // verifying nothing looks like a pass.
+    val only = args.drop(2).flatMap(_.split(",")).filter(_.nonEmpty) match {
+      case Array() => None
+      case names   => Some(names.toSet)
+    }
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
