@@ -25,6 +25,12 @@ import graft.Tables
   *    corpus half under the serving codebook, integer-exact
   *    cross-multiplied share drift, total-variation distance, and
   *    the retrain trigger flag.
+  *  - q261 DATASET CARD: the per-source corpus summary a data team
+  *    publishes with every release — doc/token/char volume, exact
+  *    duplicate rate, language-diversity (Simpson) index, and exact
+  *    rank-based token-length percentiles, every number integer-exact
+  *    (no interpolating percentile, no float entropy) so the card is
+  *    reproducible bit-for-bit across engines and releases.
   *
   * Reference scope: PalNilsson/ask-duckdb has no index tiers; 100 TB
   * training-data mandate (serving-infrastructure family).
@@ -279,5 +285,93 @@ object Round10Final {
         expr(s"CAST(CASE WHEN SUM(drift6) DIV 2 >= $DRIFT_THRESH " +
           "THEN 1 ELSE 0 END AS BIGINT)").as("retrain"))
       per.crossJoin(broadcast(tv)).orderBy(col("cid"))
+    },
+
+    // Governance/release: the dataset card. Volume, exact duplicate
+    // rate (md5 content hash, never full-text distinct), language
+    // Simpson diversity (integer cross-multiplied — no float entropy,
+    // no libm divergence), and exact ORDER-STATISTIC token-length
+    // percentiles (rank ceil(q·n) under a source-keyed window —
+    // interpolating percentile implementations differ across engines;
+    // the k-th smallest does not). One scan plus O(sources) joins.
+    Q(
+      "q261_dataset_card",
+      """WITH d AS MATERIALIZED (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk,
+        |    md5(text) AS h
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ntk) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
+        |  FROM d GROUP BY source),
+        |lc AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM d GROUP BY source, lang),
+        |simp AS (
+        |  SELECT source, CAST(SUM(nl * nl) AS BIGINT) AS sq
+        |  FROM lc GROUP BY source),
+        |rk AS (
+        |  SELECT source, ntk,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ntk, doc_id) AS rn
+        |  FROM d),
+        |pct AS (
+        |  SELECT r.source,
+        |    CAST(MAX(CASE WHEN r.rn = (b.n_docs + 1) // 2
+        |      THEN r.ntk END) AS BIGINT) AS p50_ntk,
+        |    CAST(MAX(CASE WHEN r.rn = (9 * b.n_docs + 9) // 10
+        |      THEN r.ntk END) AS BIGINT) AS p90_ntk
+        |  FROM rk r JOIN base b ON b.source = r.source
+        |  GROUP BY r.source)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_uniq,
+        |  CAST(FLOOR(CAST(b.n_uniq AS DOUBLE) * 1000000 / b.n_docs)
+        |    AS BIGINT) AS uniq6,
+        |  CAST(FLOOR(CAST(b.n_docs * b.n_docs - s.sq AS DOUBLE)
+        |    * 1000000 / (b.n_docs * b.n_docs)) AS BIGINT) AS simpson6,
+        |  p.p50_ntk, p.p90_ntk
+        |FROM base b
+        |JOIN simp s ON s.source = b.source
+        |JOIN pct p ON p.source = b.source
+        |ORDER BY b.source""".stripMargin) { (s, dir) =>
+      val d = Tables.table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("bigint").as("ntk"),
+          md5(col("text")).as("h"))
+      val base = d.groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("ntk")).cast("bigint").as("n_tokens"),
+          sum(col("n_chars")).cast("bigint").as("n_chars"),
+          countDistinct(col("h")).cast("bigint").as("n_uniq"))
+      val simp = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("nl"))
+        .groupBy(col("source"))
+        .agg(sum(col("nl") * col("nl")).cast("bigint").as("sq"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ntk"), col("doc_id"))
+      val pct = d.withColumn("rn", row_number().over(w))
+        .join(broadcast(base.select(col("source"), col("n_docs"))),
+          Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          max(when(col("rn") ===
+            ((col("n_docs") + 1) / lit(2)).cast("bigint"),
+            col("ntk"))).cast("bigint").as("p50_ntk"),
+          max(when(col("rn") ===
+            ((col("n_docs") * 9 + 9) / lit(10)).cast("bigint"),
+            col("ntk"))).cast("bigint").as("p90_ntk"))
+      base.join(broadcast(simp), Seq("source"))
+        .join(broadcast(pct), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_uniq"),
+          floor(col("n_uniq").cast("double") * 1000000 / col("n_docs"))
+            .cast("bigint").as("uniq6"),
+          floor((col("n_docs") * col("n_docs") - col("sq")).cast("double")
+            * 1000000 / (col("n_docs") * col("n_docs")))
+            .cast("bigint").as("simpson6"),
+          col("p50_ntk"), col("p90_ntk"))
+        .orderBy(col("source"))
     })
 }

@@ -168,8 +168,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q257: both arms' top-10 and probe windows stay PARTITIONED BY qid
     "q257_shadow_ab_serve",
     // q259 rides q226's curve shapes (qid-keyed probe-rank + referee
-    // windows); q260's assignment window stays keyed on vec_id
-    "q259_operating_point", "q260_cell_drift_monitor")
+    // windows); q260's assignment window stays keyed on vec_id; q261's
+    // order-statistic rank window stays keyed on source
+    "q259_operating_point", "q260_cell_drift_monitor",
+    "q261_dataset_card")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -311,8 +313,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q257_shadow_ab_serve",
       // q259: the curve's codebook/rank tables and the one-row
       // selection broadcast; q260: the codebook and one-row totals/
-      // verdict broadcast into the per-cell rows
-      "q259_operating_point", "q260_cell_drift_monitor")
+      // verdict broadcast into the per-cell rows; q261: the
+      // O(sources) summary tables broadcast into the card join
+      "q259_operating_point", "q260_cell_drift_monitor",
+      "q261_dataset_card")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

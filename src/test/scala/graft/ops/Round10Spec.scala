@@ -171,6 +171,21 @@ class Round10Spec extends AnyFunSuite {
     assert(tvd == rows.map(_.getAs[Long]("drift6")).sum / 2)
   }
 
+  test("q261: dataset-card invariants hold and volumes cover the corpus") {
+    assume(available)
+    val rows = run("q261_dataset_card").collect()
+    val docs = graft.Tables.table(spark, dir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("p50_ntk") <= r.getAs[Long]("p90_ntk"))
+      val s6 = r.getAs[Long]("simpson6")
+      assert(s6 >= 0 && s6 < 1000000L)
+      val u6 = r.getAs[Long]("uniq6")
+      assert(u6 > 0 && u6 <= 1000000L)
+    }
+  }
+
   test("q258: an edit re-chunks only its neighborhood (CDC locality)") {
     assume(available)
     import spark.implicits._
