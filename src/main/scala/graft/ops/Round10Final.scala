@@ -40,6 +40,67 @@ object Round10Final {
   /** q259's recall target: ceil(0.9 · QN·10) referee hits. */
   private val TGT: Long = (Round7Ops.QN * 10 * 9 + 9) / 10
 
+  // ---- q262: perceptual-hash image dedup ----------------------------
+  // Deterministic 8×8 grayscale fixture (the q61 discipline: pixel =
+  // formula(seed, x, y), so the DuckDB oracle recomputes the pixels
+  // the REAL codec path must reproduce losslessly). seed = doc_id %
+  // 64 plants duplicate groups; jitter = ((doc_id/64) % 3)·10 shifts
+  // every pixel's brightness equally, so the PNG BYTES differ across
+  // variants while the average-hash provably cannot (the threshold is
+  // the integer mean, which shifts by exactly the jitter).
+
+  private val PS = 8 // perceptual grid edge
+
+  private[ops] def encodeJitterPng(docId: Long): Array[Byte] = {
+    val seed = docId % 64
+    val jit = ((docId / 64) % 3) * 10
+    val img = new java.awt.image.BufferedImage(
+      PS, PS, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < PS) {
+      var x = 0
+      while (x < PS) {
+        val v = ((seed * 31 + x * 7 + y * 13) % 200 + jit).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Average-hash of a decoded 8×8 grayscale PNG, packed as two
+    * 32-bit halves (bit i of each half = pixel i of that half-grid
+    * brighter than the 64-pixel integer mean) — two BIGINTs so no
+    * engine ever shifts into the sign bit.
+    */
+  private[ops] def aHash(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val g = Array.ofDim[Long](PS * PS)
+    var y = 0
+    while (y < PS) {
+      var x = 0
+      while (x < PS) {
+        g(y * PS + x) = (img.getRGB(x, y) >> 16) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val mean = g.sum / (PS * PS)
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < PS * PS) {
+      if (g(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   private val DRIFT_THRESH = 100000L // q260: retrain at TVD >= 0.1
 
   val queries: Seq[Q] = Seq(
@@ -373,5 +434,62 @@ object Round10Final {
             .cast("bigint").as("simpson6"),
           col("p50_ntk"), col("p90_ntk"))
         .orderBy(col("source"))
+    },
+
+    // E9×E6: perceptual-hash image dedup — the multimodal flavor of
+    // the dedup family. The Spark side runs the REAL codec path
+    // (ImageIO PNG encode → decode → raster) per image; the oracle
+    // recomputes the pixels from the fixture formula, so hash
+    // equality proves the codec round-trip lossless AND the dedup
+    // exact. Brightness-jittered variants have DIFFERENT PNG bytes
+    // (byte-level dedup finds nothing) but provably identical aHash:
+    // n_variants counts the distinct jitter classes each group
+    // absorbs. At 100 TB the hash is a map stage over the binary
+    // column and the groupBy ships 16 bytes per image.
+    Q(
+      "q262_image_phash_dedup",
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, (doc_id // 64) % 3 AS variant,
+         |    flatten(list_transform(range($PS), y ->
+         |      list_transform(range($PS), x ->
+         |        (doc_id % 64 * 31 + x * 7 + y * 13) % 200
+         |          + ((doc_id // 64) % 3) * 10))) AS gs
+         |  FROM documents),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, variant,
+         |    CAST(list_sum(list_transform(range(32, 64), i ->
+         |      CASE WHEN gs[i + 1] > list_sum(gs) // ${PS * PS}
+         |        THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END))
+         |      AS BIGINT) AS ahash_hi,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN gs[i + 1] > list_sum(gs) // ${PS * PS}
+         |        THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+         |      AS BIGINT) AS ahash_lo
+         |  FROM g)
+         |SELECT ahash_hi, ahash_lo,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants,
+         |  CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+         |FROM h
+         |GROUP BY ahash_hi, ahash_lo
+         |ORDER BY ahash_hi, ahash_lo""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      // fixture generator (binary media column), then the REAL decode
+      // + hash path a production corpus would run on stored bytes
+      val hashed = ids.mapPartitions { batch =>
+        batch.map { id =>
+          val (hi, lo) = aHash(encodeJitterPng(id))
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+      hashed
+        .withColumn("variant", expr("(doc_id div 64) % 3"))
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).cast("bigint").as("n_images"),
+          countDistinct(col("variant")).cast("bigint").as("n_variants"),
+          min(col("doc_id")).cast("bigint").as("rep_doc"))
+        .orderBy(col("ahash_hi"), col("ahash_lo"))
     })
 }

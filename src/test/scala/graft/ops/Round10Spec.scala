@@ -186,6 +186,26 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("q262: brightness jitter changes the PNG bytes but never the " +
+    "perceptual hash") {
+    assume(available)
+    // the same seed under different jitter classes: different bytes,
+    // identical aHash — the invariance the dedup gate relies on
+    for (seed <- Seq(0L, 7L, 33L)) {
+      val variants = Seq(seed, seed + 64, seed + 128)
+        .map(Round10Final.encodeJitterPng)
+      assert(variants.map(_.toSeq).distinct.size == 3,
+        s"seed $seed: jitter did not change the encoded bytes")
+      assert(variants.map(Round10Final.aHash).distinct.size == 1,
+        s"seed $seed: aHash not jitter-invariant")
+    }
+    val rows = run("q262_image_phash_dedup").collect()
+    val docs = graft.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == docs)
+    // every group must absorb every jitter class present in the corpus
+    assert(rows.forall(_.getAs[Long]("n_variants") >= 1))
+  }
+
   test("q258: an edit re-chunks only its neighborhood (CDC locality)") {
     assume(available)
     import spark.implicits._
