@@ -491,5 +491,77 @@ object Round10Final {
           countDistinct(col("variant")).cast("bigint").as("n_variants"),
           min(col("doc_id")).cast("bigint").as("rep_doc"))
         .orderBy(col("ahash_hi"), col("ahash_lo"))
+    },
+
+    // E12×storage: the chunk store built THROUGH the stream. Documents
+    // arrive in micro-batches (two source files, one per trigger);
+    // each batch CDC-chunks its documents and lands its per-chunk
+    // refcounts in a batchId-keyed sink (idempotent — a replayed batch
+    // overwrites itself); the store is the merge of all deltas.
+    // Chunking is per-document and refcounts are additive, so the
+    // batch split CANNOT show through — the oracle is the BATCH-built
+    // store over the full corpus, and hash equality proves the
+    // streamed ingest equals it (the q229 discipline applied to the
+    // storage-dedup family).
+    Q(
+      "q263_stream_chunk_store",
+      s"""WITH ${Round10More.cdcChunkCtes},
+         |store AS MATERIALIZED (
+         |  SELECT chash, n_tokens, CAST(COUNT(*) AS BIGINT) AS refs,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM chunks GROUP BY chash, n_tokens),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+         |    CAST(SUM(refs) AS BIGINT) AS total_refs,
+         |    CAST(FLOOR(CAST(SUM(refs) - COUNT(*) AS DOUBLE) * 1000000
+         |      / SUM(refs)) AS BIGINT) AS dup6
+         |  FROM store),
+         |top AS (
+         |  SELECT * FROM store
+         |  ORDER BY refs DESC, chash ASC, n_tokens ASC LIMIT 10)
+         |SELECT t.chash, t.n_tokens, t.refs, t.n_docs, o.total_chunks,
+         |  o.total_refs, o.dup6
+         |FROM top t, tot o
+         |ORDER BY t.refs DESC, t.chash ASC, t.n_tokens ASC""".stripMargin) {
+      (s, dir) =>
+      val raw = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val src = Round6Ops.scratchDir(
+        s"graft_chunkstream_src_${VecIndex.dirDigest(dir)}")
+      raw.repartition(2).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val out = Round6Ops.scratchDir(
+        s"graft_chunkstream_${VecIndex.dirDigest(dir)}")
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            // documents are atomic per batch, so per-batch refcounts
+            // and per-batch distinct-doc counts are both additive
+            Round10More.cdcChunks(batch)
+              .groupBy(col("chash"), col("n_tokens"))
+              .agg(count(lit(1)).cast("bigint").as("refs_b"),
+                countDistinct(col("doc_id")).cast("bigint").as("docs_b"))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+          }
+        }
+        .start()
+      Round6Ops.drainTo(q, out)
+      val store = s.read.parquet(s"$out/b*")
+        .groupBy(col("chash"), col("n_tokens"))
+        .agg(sum(col("refs_b")).cast("bigint").as("refs"),
+          sum(col("docs_b")).cast("bigint").as("n_docs"))
+      val tot = store.agg(
+        count(lit(1)).cast("bigint").as("total_chunks"),
+        sum(col("refs")).cast("bigint").as("total_refs"),
+        floor((sum(col("refs")) - count(lit(1))).cast("double") * 1000000
+          / sum(col("refs"))).cast("bigint").as("dup6"))
+      store.orderBy(col("refs").desc, col("chash").asc,
+          col("n_tokens").asc)
+        .limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("chash"), col("n_tokens"), col("refs"), col("n_docs"),
+          col("total_chunks"), col("total_refs"), col("dup6"))
+        .orderBy(col("refs").desc, col("chash").asc, col("n_tokens").asc)
     })
 }

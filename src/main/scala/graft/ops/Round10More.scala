@@ -60,6 +60,42 @@ object Round10More {
       finally w.close()
     }
 
+  /** The CDC chunk oracle CTE chain over `documents`, ending in
+    * `chunks(doc_id, chunk, chash, n_tokens)` — the DuckDB mirror of
+    * [[cdcChunks]], shared by q258 and q263's streamed chunk store.
+    */
+  private[ops] val cdcChunkCtes: String =
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, u.i - 1 AS pos,
+       |    ${duckHash("ts[u.i]")} AS th
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+       |        FROM documents) d,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u),
+       |rolled AS MATERIALIZED (
+       |  SELECT doc_id, pos, th,
+       |    LAG(th, 3) OVER w AS l3, LAG(th, 2) OVER w AS l2,
+       |    LAG(th, 1) OVER w AS l1
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |flagged AS MATERIALIZED (
+       |  SELECT doc_id, pos, th,
+       |    CASE WHEN pos >= 3 AND
+       |      ((((l3 * 131 + l2) % $M) * 131 + l1) % $M * 131 + th) % $M
+       |        % 8 = 0 THEN 1 ELSE 0 END AS bflag
+       |  FROM rolled),
+       |cidx AS MATERIALIZED (
+       |  SELECT doc_id, pos, th,
+       |    COALESCE(SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk
+       |  FROM flagged),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, chunk,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(th ORDER BY pos)), (a, b) -> (a * 131 + b) % $M)
+       |      AS chash,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |  FROM cidx GROUP BY doc_id, chunk)""".stripMargin
+
   /** The q47 MinHash band expressions (2 bands of 4 hash slots). */
   private val mhSig = "transform(sequence(0, 7), i -> " +
     s"array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % $M)))"
@@ -326,36 +362,7 @@ object Round10More {
     // corpus dedup ratio — what a CDC store would save.
     Q(
       "q258_cdc_chunk_dedup",
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id, u.i - 1 AS pos,
-         |    ${duckHash("ts[u.i]")} AS th
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
-         |        FROM documents) d,
-         |  LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u),
-         |rolled AS MATERIALIZED (
-         |  SELECT doc_id, pos, th,
-         |    LAG(th, 3) OVER w AS l3, LAG(th, 2) OVER w AS l2,
-         |    LAG(th, 1) OVER w AS l1
-         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |flagged AS MATERIALIZED (
-         |  SELECT doc_id, pos, th,
-         |    CASE WHEN pos >= 3 AND
-         |      ((((l3 * 131 + l2) % $M) * 131 + l1) % $M * 131 + th) % $M
-         |        % 8 = 0 THEN 1 ELSE 0 END AS bflag
-         |  FROM rolled),
-         |cidx AS MATERIALIZED (
-         |  SELECT doc_id, pos, th,
-         |    COALESCE(SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS chunk
-         |  FROM flagged),
-         |chunks AS MATERIALIZED (
-         |  SELECT doc_id, chunk,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list(th ORDER BY pos)), (a, b) -> (a * 131 + b) % $M)
-         |      AS chash,
-         |    CAST(COUNT(*) AS BIGINT) AS n_tokens
-         |  FROM cidx GROUP BY doc_id, chunk),
+      s"""WITH $cdcChunkCtes,
          |tot AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
          |    CAST(COUNT(DISTINCT chash) AS BIGINT) AS distinct_chunks,

@@ -171,7 +171,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // windows); q260's assignment window stays keyed on vec_id; q261's
     // order-statistic rank window stays keyed on source
     "q259_operating_point", "q260_cell_drift_monitor",
-    "q261_dataset_card")
+    "q261_dataset_card",
+    // q263's returned frame is the store merge (orderBy+limit only);
+    // the chunking windows inside the micro-batch body are the same
+    // doc_id-keyed shapes q258 audits
+    "q263_stream_chunk_store")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -316,7 +320,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // verdict broadcast into the per-cell rows; q261: the
       // O(sources) summary tables broadcast into the card join
       "q259_operating_point", "q260_cell_drift_monitor",
-      "q261_dataset_card")
+      "q261_dataset_card",
+      // q263: the one-row store totals broadcast into the top rows
+      "q263_stream_chunk_store")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

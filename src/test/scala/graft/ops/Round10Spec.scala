@@ -206,6 +206,29 @@ class Round10Spec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_variants") >= 1))
   }
 
+  test("q263: the stream spans micro-batches and the streamed store " +
+    "equals the batch-built store") {
+    assume(available)
+    val rows = run("q263_stream_chunk_store").collect()
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_chunkstream_${VecIndex.dirDigest(dir)}")
+    val dirs = out.toFile.listFiles().filter(_.getName.startsWith("b"))
+    assert(dirs.length >= 2,
+      s"ingest did not span micro-batches: ${dirs.length} batch dirs")
+    // streamed store totals == batch-path totals (q258's machinery)
+    val batchChunks = Round10More.cdcChunks(
+      graft.Tables.table(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    val nDistinct = batchChunks
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.struct("chash", "n_tokens")))
+      .head().getLong(0)
+    val nTotal = batchChunks.count()
+    assert(rows.head.getAs[Long]("total_chunks") == nDistinct)
+    assert(rows.head.getAs[Long]("total_refs") == nTotal)
+  }
+
   test("q258: an edit re-chunks only its neighborhood (CDC locality)") {
     assume(available)
     import spark.implicits._
