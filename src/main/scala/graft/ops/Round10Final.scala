@@ -417,11 +417,9 @@ object Round10Final {
           Seq("source"))
         .groupBy(col("source"))
         .agg(
-          max(when(col("rn") ===
-            ((col("n_docs") + 1) / lit(2)).cast("bigint"),
+          max(when(col("rn") === expr("(n_docs + 1) div 2"),
             col("ntk"))).cast("bigint").as("p50_ntk"),
-          max(when(col("rn") ===
-            ((col("n_docs") * 9 + 9) / lit(10)).cast("bigint"),
+          max(when(col("rn") === expr("(n_docs * 9 + 9) div 10"),
             col("ntk"))).cast("bigint").as("p90_ntk"))
       base.join(broadcast(simp), Seq("source"))
         .join(broadcast(pct), Seq("source"))

@@ -166,7 +166,8 @@ object Round10More {
          |GROUP BY bucket
          |ORDER BY bucket""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_backfill")
+        sys.props("java.io.tmpdir"),
+        s"graft_backfill_${VecIndex.dirDigest(dir)}")
       rmTree(root)
       java.nio.file.Files.createDirectories(root)
       val data = root.resolve("data").toString
@@ -223,14 +224,14 @@ object Round10More {
       "q255_observed_metrics",
       """WITH raw AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents),
+        |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM documents),
         |langf AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents
+        |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM documents
         |  WHERE lang IN ('en', 'de')),
         |qual AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents
+        |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM documents
         |  WHERE lang IN ('en', 'de')
         |    AND len(string_split(text, ' ')) >= 40)
         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, n_rows, n_chars
@@ -245,7 +246,8 @@ object Round10More {
       val oQual = Observation("quality_kept")
       val metricsCols = Seq(
         count(lit(1)).cast("bigint").as("n_rows"),
-        sum(col("n_chars")).cast("bigint").as("n_chars"))
+        coalesce(sum(col("n_chars")), lit(0L)).cast("bigint")
+          .as("n_chars"))
       val piped = Tables.table(s, dir, "documents")
         .observe(oRaw, metricsCols.head, metricsCols(1))
         .filter(col("lang").isin("en", "de"))

@@ -227,9 +227,10 @@ object Round10Ops {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("bigint").as("ntk"))
       def strat(name: String, ord: Seq[org.apache.spark.sql.Column]) =
-        toks.withColumn("batch",
-            ((row_number().over(Window.partitionBy(col("source"))
-              .orderBy(ord: _*)) - 1) / BATCH).cast("bigint"))
+        toks.withColumn("rn0",
+            (row_number().over(Window.partitionBy(col("source"))
+              .orderBy(ord: _*)) - 1).cast("bigint"))
+          .withColumn("batch", expr(s"rn0 div $BATCH")).drop("rn0")
           .withColumn("strategy", lit(name))
       val arrival = strat("arrival", Seq(col("doc_id")))
       val sorted = strat("sorted", Seq(col("ntk"), col("doc_id")))
