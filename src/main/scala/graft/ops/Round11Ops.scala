@@ -1,0 +1,467 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-11 corpus-assembly shapes: the operations that turn a cleaned
+  * document pool into an actual pretraining mix.
+  *
+  *  - q264 CONCAT-SPLIT PACKING: GPT-style concat-and-split packing of the
+  *    token stream into fixed L=128 sequences (each doc followed by one
+  *    EOS token). Reports the docs-per-sequence histogram and the
+  *    boundary-split doc count — the numbers that decide attention-mask
+  *    strategy and loss weighting. The global running offset is computed
+  *    in TWO phases (per-bucket partials + tiny offset frame) so no
+  *    window ever collapses the corpus into one partition.
+  *  - q265 MINHASH-LSH OPERATING CURVE: the (bands × rows) tuning table
+  *    for shingle-MinHash dedup — candidate volume, precision and recall
+  *    of every banding of an 8-slot signature, measured against the
+  *    EXACT shingle-Jaccard >= 0.8 truth (prefix-filter blocked, so the
+  *    truth itself never does an O(n²) scan). This is the in-band
+  *    evidence for choosing a dedup config before burning a 100 TB pass.
+  *  - q266 BENCHMARK DECONTAMINATION: flags training docs sharing any
+  *    10-token shingle with a held-out benchmark slice (doc_id % 7 = 0)
+  *    — the eval-contamination audit every released model card cites —
+  *    and emits the per-source contaminated-id sum as the removal
+  *    witness (this is the scrub-the-TRAIN-side apply step; q126 scores
+  *    the eval side). The benchmark shingle set is broadcast: eval
+  *    suites are tiny by construction; the corpus side stays a
+  *    streaming scan.
+  *  - q267 REPETITION QUALITY FILTER: Gopher-style within-doc repetition
+  *    rules — fraction of tokens covered by the most frequent bigram and
+  *    by all duplicated bigrams, integer fixed-point, with per-source
+  *    pass/fail tallies at thresholds 0.15 / 0.25.
+  *
+  * Reference scope: PalNilsson/ask-duckdb delegates all query execution
+  * to DuckDB and ships no corpus-assembly surface (ask.py:1-120); these
+  * gates come from the 100 TB training-data mandate.
+  */
+object Round11Ops {
+
+  private val M = 1000000007L
+  private val SEQ_LEN = 128 // packed sequence length (tokens)
+  private val PACK_BUCKET = 64L // docs per offset bucket (two-phase cumsum)
+  private val DECON_W = 10 // decontamination shingle width (tokens)
+  private val DECON_MOD = 7 // benchmark slice: doc_id % 7 == 0
+  private val TOP2_THRESH = 150000L // 0.15: top-bigram coverage limit
+  private val DUP2_THRESH = 250000L // 0.25: duplicated-bigram coverage limit
+
+  /** Positional (non-distinct) per-token rolling-131 hashes — the
+    * [[Dedup.sparkTokenHashes]] char fold WITHOUT the distinct, so
+    * shingles can be formed over token positions.
+    */
+  private[ops] val sparkPosTokenHashes: String =
+    "transform(split(text, ' '), " +
+      "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a * 131 + b) % $M))"
+
+  private[ops] val duckPosTokenHashes: String =
+    "list_transform(string_split(text, ' '), " +
+      "t -> list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % $M))"
+
+  /** Distinct w-token shingle hashes over a positional token-hash array
+    * column `th` (rolling-131 fold of the w token hashes; the 0 seed is
+    * absorbed by the first multiply, so both dialects fold identically).
+    */
+  private[ops] def sparkShingles(w: Int, th: String = "th"): String =
+    s"array_distinct(transform(sequence(0, size($th) - $w), " +
+      s"i -> aggregate(slice($th, i + 1, $w), CAST(0 AS BIGINT), " +
+      s"(a, b) -> (a * 131 + b) % $M)))"
+
+  private[ops] def duckShingles(w: Int, th: String = "th"): String =
+    s"list_distinct(list_transform(range(len($th) - ${w - 1}), " +
+      s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$th[i+1:i+$w]), (a, b) -> (a * 131 + b) % $M)))"
+
+  /** `th` CTE: per-doc positional token hashes (the shared front half of
+    * the q265/q266 oracles).
+    */
+  private def duckThCte: String =
+    s"""th AS MATERIALIZED (
+       |  SELECT doc_id, source, $duckPosTokenHashes AS th
+       |  FROM documents)""".stripMargin
+
+  // LSH configs: every banding of the 8-slot signature.
+  private val LSH_CONFIGS: Seq[(String, Int, Int)] =
+    Seq(("b1r8", 1, 8), ("b2r4", 2, 4), ("b4r2", 4, 2), ("b8r1", 8, 1))
+
+  /** MinHash slot i over a shingle-hash array column (q47's permutation
+    * family, applied to shingles instead of unigram tokens — unigram
+    * min-hashes degenerate on this template-heavy corpus: 388 of 500
+    * docs share the full 8-slot signature at sf0.01).
+    */
+  private def sparkMh(sg: String): String =
+    "transform(sequence(0, 7), i -> " +
+      s"array_min(transform($sg, h -> ((2*i + 1) * h + 7919 * i) % $M)))"
+
+  private def duckMh(sg: String): String =
+    "list_transform(range(8), i -> " +
+      s"list_min(list_transform($sg, h -> ((2*i + 1) * h + 7919 * i) % $M)))"
+
+  val queries: Seq[Q] = Seq(
+    // Corpus assembly: concat-and-split sequence packing. Stream order
+    // is doc_id ASC; each doc contributes its tokens + 1 EOS. The
+    // histogram row family counts sequences by how many docs' content
+    // lands in them; n_split_docs counts docs whose content crosses a
+    // sequence boundary (the docs whose loss a packer must mask across
+    // the cut). The Spark side computes the global offset with
+    // per-bucket partial sums + a broadcast offset frame: the only
+    // unpartitioned window runs over n/64 bucket rows, never over docs.
+    Q(
+      "q264_concat_split_packing",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
+         |  FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, ntk,
+         |    CAST(COALESCE(SUM(ntk + 1) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS st
+         |  FROM d),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(st // $SEQ_LEN,
+         |      (st + ntk - 1) // $SEQ_LEN)) AS seq
+         |  FROM c),
+         |perseq AS (SELECT seq, COUNT(*) AS nd FROM spans GROUP BY seq),
+         |hist AS (
+         |  SELECT 'seqs_with_docs' AS metric, CAST(nd AS BIGINT) AS k,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM perseq GROUP BY nd),
+         |tot AS (
+         |  SELECT CAST(SUM(ntk + 1) AS BIGINT) AS t,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN st // $SEQ_LEN <>
+         |      (st + ntk - 1) // $SEQ_LEN THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS spl
+         |  FROM c)
+         |SELECT metric, k, v FROM hist
+         |UNION ALL SELECT 'total_tokens', -1, t FROM tot
+         |UNION ALL SELECT 'n_seqs', -1, (t + ${SEQ_LEN - 1}) // $SEQ_LEN
+         |FROM tot
+         |UNION ALL SELECT 'n_docs', -1, n FROM tot
+         |UNION ALL SELECT 'n_split_docs', -1, spl FROM tot
+         |ORDER BY metric, k""".stripMargin) { (s, dir) =>
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"doc_id div $PACK_BUCKET").as("bkt"),
+          size(split(col("text"), " ")).cast("bigint").as("ntk"))
+        .withColumn("rec", col("ntk") + 1)
+      // phase 1: per-bucket record totals; phase 2: running offsets over
+      // the TINY bucket frame (n/64 rows — fine single-partition);
+      // phase 3: within-bucket prefix sums, partitioned by bucket.
+      val boff = d.groupBy(col("bkt"))
+        .agg(sum(col("rec")).as("btot"))
+        .withColumn("off",
+          coalesce(sum(col("btot")).over(Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val wb = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = d.join(broadcast(boff), "bkt")
+        .withColumn("st",
+          col("off") + coalesce(sum(col("rec")).over(wb), lit(0L)))
+      val spans = c.select(col("doc_id"),
+        explode(expr(s"sequence(st div $SEQ_LEN, " +
+          s"(st + ntk - 1) div $SEQ_LEN)")).as("seq"))
+      val hist = spans.groupBy(col("seq"))
+        .agg(count(lit(1)).as("nd"))
+        .groupBy(col("nd"))
+        .agg(count(lit(1)).cast("bigint").as("v"))
+        .select(lit("seqs_with_docs").as("metric"),
+          col("nd").cast("bigint").as("k"), col("v"))
+      val tot = c.agg(
+        sum(col("rec")).cast("bigint").as("t"),
+        count(lit(1)).cast("bigint").as("n"),
+        sum(when(expr(s"st div $SEQ_LEN") =!=
+          expr(s"(st + ntk - 1) div $SEQ_LEN"), 1L).otherwise(0L))
+          .cast("bigint").as("spl"))
+      val summary = tot.select(
+        array(
+          struct(lit("total_tokens").as("metric"), lit(-1L).as("k"),
+            col("t").as("v")),
+          struct(lit("n_seqs").as("metric"), lit(-1L).as("k"),
+            expr(s"(t + ${SEQ_LEN - 1}) div $SEQ_LEN").as("v")),
+          struct(lit("n_docs").as("metric"), lit(-1L).as("k"),
+            col("n").as("v")),
+          struct(lit("n_split_docs").as("metric"), lit(-1L).as("k"),
+            col("spl").as("v"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.metric"), col("r.k"), col("r.v"))
+      hist.unionByName(summary).orderBy(col("metric"), col("k"))
+    },
+
+    // E6 tuning: the MinHash-LSH operating curve. 8 minhash slots over
+    // distinct 3-token shingle hashes; each config bands them into
+    // (nb bands × r rows) and a candidate pair is any pair agreeing on
+    // >= 1 full band. Truth = exact shingle-Jaccard >= 0.8 (integer
+    // cross-multiplied: 5*|∩| >= 4*|∪|), generated by the ppjoin prefix
+    // filter under the global (df, hash) rare-first order — a provable
+    // superset, so the truth is EXACT without any O(n²) stage. The
+    // oracle recomputes truth with a length-ratio-blocked self-join
+    // (implied by J >= 0.8, prunes pairs, never answers).
+    Q(
+      "q265_lsh_tuning_curve",
+      s"""WITH $duckThCte,
+         |sg AS MATERIALIZED (
+         |  SELECT doc_id, ${duckShingles(3)} AS sg FROM th
+         |  WHERE len(th) >= 3),
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, ${duckMh("sg")} AS mh FROM sg),
+         |cfg(config, nb, r) AS (
+         |  VALUES ('b1r8', 1, 8), ('b2r4', 2, 4), ('b4r2', 4, 2),
+         |         ('b8r1', 8, 1)),
+         |bands AS MATERIALIZED (
+         |  SELECT c.config, c.nb, c.r, u.j AS band, m.doc_id,
+         |    array_to_string(m.mh[u.j * c.r + 1 : u.j * c.r + c.r], '-')
+         |      AS key
+         |  FROM mh m, cfg c,
+         |    LATERAL (SELECT unnest(range(c.nb)) AS j) u),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.config = b.config AND a.band = b.band AND a.key = b.key
+         |   AND a.doc_id < b.doc_id),
+         |ss AS MATERIALIZED (
+         |  SELECT doc_id, sg, len(sg) AS n FROM sg),
+         |truth AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |    AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4
+         |  WHERE 5 * len(list_intersect(a.sg, b.sg)) >=
+         |        4 * len(list_distinct(list_concat(a.sg, b.sg)))),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |per AS (
+         |  SELECT c.config,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |    CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tp
+         |  FROM cand c LEFT JOIN truth t
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  GROUP BY c.config)
+         |SELECT p.config, CAST(g.nb AS BIGINT) AS n_bands,
+         |  CAST(g.r AS BIGINT) AS rows_per_band, p.n_cand, p.n_tp,
+         |  n.n_truth,
+         |  CAST(CASE WHEN p.n_cand = 0 THEN 0
+         |    ELSE (1000000 * p.n_tp) // p.n_cand END AS BIGINT) AS prec6,
+         |  CAST(CASE WHEN n.n_truth = 0 THEN 0
+         |    ELSE (1000000 * p.n_tp) // n.n_truth END AS BIGINT) AS rec6
+         |FROM per p JOIN cfg g ON g.config = p.config, nt n
+         |ORDER BY p.config""".stripMargin) { (s, dir) =>
+      val sg = Tables.table(s, dir, "documents")
+        .withColumn("th", expr(sparkPosTokenHashes))
+        .filter(size(col("th")) >= 3)
+        .select(col("doc_id"), expr(sparkShingles(3)).as("sg"))
+      val mh = sg.select(col("doc_id"), expr(sparkMh("sg")).as("mh"))
+      // one small frame per (config, band): static plans, tiny union —
+      // at most 1+2+4+8 = 15 projections of the one mh scan
+      val bandFrames = for {
+        (cfg, nb, r) <- LSH_CONFIGS
+        j <- 0 until nb
+      } yield mh.select(lit(cfg).as("config"), lit(nb).as("nb"),
+        lit(r).as("r"), lit(j).as("band"),
+        array_join(slice(col("mh"), j * r + 1, r), "-").as("key"),
+        col("doc_id"))
+      val bands = bandFrames.reduce(_.unionByName(_))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.config") === col("b.config") &&
+            col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.config").as("config"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // EXACT truth via the ppjoin prefix filter: J >= 0.8 forces a
+      // shared shingle inside both docs' rare-first prefixes of length
+      // n - ceil(0.8 n) + 1, so the prefix-hash equi-join is a provable
+      // candidate superset with df-bounded buckets (shingle space is
+      // huge — df collapses toward 1, unlike unigram tokens).
+      val ex = sg.select(col("doc_id"), explode(col("sg")).as("h"))
+      val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pfx = ex.join(freq, "h")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+          .as("ss"))
+        .select(col("doc_id"), expr(
+          "slice(transform(ss, x -> x.h), 1, " +
+            "size(ss) - ((4 * size(ss) + 4) div 5) + 1)").as("pfx"))
+      val side = pfx.join(sg, "doc_id")
+        .withColumn("n", size(col("sg")))
+      val pa = side.select(col("doc_id").as("da"), col("n").as("na"),
+        col("sg").as("sg_a"), explode(col("pfx")).as("pt"))
+      val pb = side.select(col("doc_id").as("db"), col("n").as("nb2"),
+        col("sg").as("sg_b"), explode(col("pfx")).as("pt"))
+      val truth = pa.join(pb,
+        pa("pt") === pb("pt") && col("da") < col("db") &&
+          col("na") * 5 >= col("nb2") * 4 &&
+          col("nb2") * 5 >= col("na") * 4)
+        .select(col("da"), col("db"), col("sg_a"), col("sg_b"))
+        .dropDuplicates("da", "db")
+        .filter(expr("5 * size(array_intersect(sg_a, sg_b)) >= " +
+          "4 * size(array_union(sg_a, sg_b))"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      val nt = truth.agg(count(lit(1)).cast("bigint").as("n_truth"))
+      val per = cand.join(truth.withColumn("hit", lit(1L)),
+          Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("config"))
+        .agg(count(lit(1)).cast("bigint").as("n_cand"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_tp"))
+      val cfgDf = bands.select(col("config"), col("nb"), col("r"))
+        .distinct()
+      per.join(broadcast(cfgDf), "config")
+        .crossJoin(broadcast(nt))
+        .select(col("config"), col("nb").cast("bigint").as("n_bands"),
+          col("r").cast("bigint").as("rows_per_band"),
+          col("n_cand"), col("n_tp"), col("n_truth"),
+          when(col("n_cand") === 0, 0L)
+            .otherwise(expr("(1000000 * n_tp) div n_cand"))
+            .cast("bigint").as("prec6"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("(1000000 * n_tp) div n_truth"))
+            .cast("bigint").as("rec6"))
+        .orderBy(col("config"))
+    },
+
+    // Governance: benchmark decontamination. The held-out "benchmark" is
+    // the doc_id % 7 = 0 slice; a training doc is contaminated when it
+    // shares ANY 10-token shingle with any benchmark doc. Per-source
+    // contamination report + '*' total. The benchmark shingle set rides
+    // a broadcast (eval suites are ~1e4 docs at any corpus scale); the
+    // training side is one scan + explode, no shuffle wider than the
+    // per-source tally.
+    Q(
+      "q266_benchmark_decontamination",
+      s"""WITH $duckThCte,
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, source, ${duckShingles(DECON_W)} AS sg
+         |  FROM th WHERE len(th) >= $DECON_W),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(sg) AS g FROM sh
+         |  WHERE doc_id % $DECON_MOD = 0),
+         |tr AS MATERIALIZED (
+         |  SELECT doc_id, source, sg FROM sh
+         |  WHERE doc_id % $DECON_MOD <> 0),
+         |contam AS MATERIALIZED (
+         |  SELECT DISTINCT t.doc_id, t.source
+         |  FROM (SELECT doc_id, source, unnest(sg) AS g FROM tr) t
+         |  JOIN bg b ON t.g = b.g),
+         |persrc AS (
+         |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |    CAST(COUNT(c.doc_id) AS BIGINT) AS n_contam,
+         |    CAST(COALESCE(SUM(c.doc_id), 0) AS BIGINT) AS contam_id_sum
+         |  FROM tr t LEFT JOIN contam c ON c.doc_id = t.doc_id
+         |  GROUP BY t.source),
+         |tot AS (
+         |  SELECT '*' AS source, CAST(SUM(n_train) AS BIGINT) AS n_train,
+         |    CAST(SUM(n_contam) AS BIGINT) AS n_contam,
+         |    CAST(SUM(contam_id_sum) AS BIGINT) AS contam_id_sum
+         |  FROM persrc)
+         |SELECT source, n_train, n_contam,
+         |  CAST((1000000 * n_contam) // n_train AS BIGINT) AS contam6,
+         |  contam_id_sum
+         |FROM (SELECT * FROM persrc UNION ALL SELECT * FROM tot)
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val sh = Tables.table(s, dir, "documents")
+        .withColumn("th", expr(sparkPosTokenHashes))
+        .filter(size(col("th")) >= DECON_W)
+        .select(col("doc_id"), col("source"),
+          expr(sparkShingles(DECON_W)).as("sg"))
+      val bg = sh.filter(col("doc_id") % DECON_MOD === 0)
+        .select(explode(col("sg")).as("g")).distinct()
+      val tr = sh.filter(col("doc_id") % DECON_MOD =!= 0)
+      val contam = tr
+        .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+        .join(broadcast(bg), Seq("g"), "leftsemi")
+        .select(col("doc_id"), col("source")).distinct()
+      val persrc = tr.select(col("doc_id"), col("source"))
+        .join(contam.select(col("doc_id"), lit(1L).as("hit")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_train"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_contam"),
+          coalesce(sum(when(col("hit").isNotNull, col("doc_id"))),
+            lit(0L)).cast("bigint").as("contam_id_sum"))
+      val tot = persrc.agg(
+        sum(col("n_train")).cast("bigint").as("n_train"),
+        sum(col("n_contam")).cast("bigint").as("n_contam"),
+        sum(col("contam_id_sum")).cast("bigint").as("contam_id_sum"))
+        .withColumn("source", lit("*"))
+      persrc.unionByName(tot)
+        .select(col("source"), col("n_train"), col("n_contam"),
+          expr("(1000000 * n_contam) div n_train").cast("bigint")
+            .as("contam6"), col("contam_id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // E8 quality: Gopher-style repetition rules. Per doc, over
+    // POSITIONAL bigram hashes: top2_6 = fraction of tokens covered by
+    // the single most frequent bigram; dup2_6 = fraction covered by all
+    // bigrams occurring >= 2 times (overlap-counted — a pure integer
+    // score, not a set measure). A doc fails on top2_6 > 0.15 or
+    // dup2_6 > 0.25 (thresholds split this corpus ~p90). One explode +
+    // two hash-aggregates per doc — partial aggregation keeps the
+    // shuffle at (doc, bigram) cardinality.
+    Q(
+      "q267_repetition_filter",
+      s"""WITH $duckThCte,
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, source, len(th) AS ntk,
+         |    unnest(list_transform(range(len(th) - 1),
+         |      i -> (th[i+1] * 131 + th[i+2]) % $M)) AS b
+         |  FROM th),
+         |cnt AS (
+         |  SELECT doc_id, source, ntk, b, COUNT(*) AS c
+         |  FROM bg GROUP BY doc_id, source, ntk, b),
+         |perdoc AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    (1000000 * MAX(c) * 2) // MAX(ntk) AS top2_6,
+         |    (1000000 * SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 2)
+         |      // MAX(ntk) AS dup2_6
+         |  FROM cnt GROUP BY doc_id, source)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN top2_6 > $TOP2_THRESH THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail_top2,
+         |  CAST(SUM(CASE WHEN dup2_6 > $DUP2_THRESH THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail_dup2,
+         |  CAST(SUM(CASE WHEN top2_6 <= $TOP2_THRESH
+         |    AND dup2_6 <= $DUP2_THRESH THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(SUM(top2_6) // COUNT(*) AS BIGINT) AS mean_top2_6
+         |FROM perdoc
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val bg = Tables.table(s, dir, "documents")
+        .withColumn("th", expr(sparkPosTokenHashes))
+        .select(col("doc_id"), col("source"),
+          size(col("th")).cast("bigint").as("ntk"),
+          explode(expr("transform(sequence(0, size(th) - 2), " +
+            s"i -> (element_at(th, i + 1) * 131 + " +
+            s"element_at(th, i + 2)) % $M)")).as("b"))
+      val cnt = bg.groupBy(col("doc_id"), col("source"), col("ntk"),
+        col("b")).agg(count(lit(1)).as("c"))
+      val perdoc = cnt.groupBy(col("doc_id"), col("source"))
+        .agg(expr("(1000000 * MAX(c) * 2) div MAX(ntk)").as("top2_6"),
+          expr("(1000000 * SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 2)" +
+            " div MAX(ntk)").as("dup2_6"))
+      perdoc.groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("top2_6") > TOP2_THRESH, 1L).otherwise(0L))
+            .cast("bigint").as("n_fail_top2"),
+          sum(when(col("dup2_6") > DUP2_THRESH, 1L).otherwise(0L))
+            .cast("bigint").as("n_fail_dup2"),
+          sum(when(col("top2_6") <= TOP2_THRESH &&
+            col("dup2_6") <= DUP2_THRESH, 1L).otherwise(0L))
+            .cast("bigint").as("n_pass"),
+          expr("SUM(top2_6) div COUNT(*)").cast("bigint")
+            .as("mean_top2_6"))
+        .orderBy(col("source"))
+    })
+}

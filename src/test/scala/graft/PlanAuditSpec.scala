@@ -175,7 +175,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // q263's returned frame is the store merge (orderBy+limit only);
     // the chunking windows inside the micro-batch body are the same
     // doc_id-keyed shapes q258 audits
-    "q263_stream_chunk_store")
+    "q263_stream_chunk_store",
+    // round 11: q264 is deliberately absent — its one global window
+    // runs over the n/64 bucket-offset frame (tiny by design; the
+    // per-doc prefix sums stay PARTITIONED BY bucket); q265-q267 have
+    // no corpus-wide windows (band joins, prefix joins, hash
+    // aggregates), so the audit just proves nothing regresses into a
+    // single-partition collapse
+    "q265_lsh_tuning_curve", "q266_benchmark_decontamination",
+    "q267_repetition_filter")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -322,7 +330,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q259_operating_point", "q260_cell_drift_monitor",
       "q261_dataset_card",
       // q263: the one-row store totals broadcast into the top rows
-      "q263_stream_chunk_store")
+      "q263_stream_chunk_store",
+      // round 11: q264 broadcasts the bucket-offset frame into the
+      // per-doc prefix sums; q265 broadcasts the config table and the
+      // one-row truth count; q266 broadcasts the benchmark shingle set
+      // into the corpus scan
+      "q264_concat_split_packing", "q265_lsh_tuning_curve",
+      "q266_benchmark_decontamination")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
