@@ -52,7 +52,7 @@ object Round10More {
       s"list_transform(string_split($t, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 131 + b) % $M)"
 
-  private def rmTree(p: java.nio.file.Path): Unit =
+  private[ops] def rmTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val w = java.nio.file.Files.walk(p)
       try w.sorted(java.util.Comparator.reverseOrder())

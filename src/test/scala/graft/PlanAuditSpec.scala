@@ -183,7 +183,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregates), so the audit just proves nothing regresses into a
     // single-partition collapse
     "q265_lsh_tuning_curve", "q266_benchmark_decontamination",
-    "q267_repetition_filter")
+    "q267_repetition_filter",
+    // q269's histogram cumsum window stays PARTITIONED BY source
+    "q269_incremental_dataset_card")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -336,7 +338,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // one-row truth count; q266 broadcasts the benchmark shingle set
       // into the corpus scan
       "q264_concat_split_packing", "q265_lsh_tuning_curve",
-      "q266_benchmark_decontamination")
+      "q266_benchmark_decontamination",
+      // q269: the O(sources) totals/uniq/percentile tables broadcast
+      // into the card join
+      "q269_incremental_dataset_card")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
