@@ -185,7 +185,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q265_lsh_tuning_curve", "q266_benchmark_decontamination",
     "q267_repetition_filter",
     // q269's histogram cumsum window stays PARTITIONED BY source
-    "q269_incremental_dataset_card")
+    "q269_incremental_dataset_card",
+    // q270: rank, dup-suppression and budget-cumsum windows all stay
+    // PARTITIONED BY qid (and (qid, h)); q271's member-sim stage is a
+    // keyed hash aggregate, the k² pair stage is broadcast-sized
+    "q270_context_budget_packing", "q271_cluster_quality_eval")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -341,7 +345,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q266_benchmark_decontamination",
       // q269: the O(sources) totals/uniq/percentile tables broadcast
       // into the card join
-      "q269_incremental_dataset_card")
+      "q269_incremental_dataset_card",
+      // q270: the query batch broadcasts into the candidate scan;
+      // q271: the codebook broadcasts into assignment, member-sim and
+      // the k² pair stage
+      "q270_context_budget_packing", "q271_cluster_quality_eval")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
