@@ -100,14 +100,20 @@ object Bpe {
     * n<STEPS>` replaying the same training in DuckDB. b<t> is the step-t
     * winning pair; w<t> the vocabulary after applying it.
     */
-  private[ops] def trainCtes: String = {
+  private[ops] def trainCtes: String = trainCtes("")
+
+  /** Variant with a WHERE clause restricting the TRAINING slice of
+    * `documents` (q273 trains on a base split and scores held-out fit);
+    * the empty default keeps q203/q210's oracle text unchanged.
+    */
+  private[ops] def trainCtes(where: String): String = {
     val sb = new StringBuilder
-    sb ++= """w0 AS (
+    sb ++= s"""w0 AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS f,
-      |    regexp_replace(w, '(.)', '|\1|', 'g') AS s
+      |    regexp_replace(w, '(.)', '|\\1|', 'g') AS s
       |  FROM (SELECT lower(unnest(string_split(text, ' '))) AS w
-      |        FROM documents)
-      |  WHERE regexp_matches(w, '^[a-z]+$')
+      |        FROM documents $where)
+      |  WHERE regexp_matches(w, '^[a-z]+$$')
       |  GROUP BY w)""".stripMargin
     for (t <- 1 to STEPS) {
       val p = t - 1

@@ -108,6 +108,36 @@ object Round11More {
     }
   }
 
+  /** Run the full wave-streamed ingest for `dir` from scratch and
+    * return the persisted store path — q268's pipeline, shared so the
+    * compaction gate (q274) rebuilds the same artifact it compacts.
+    */
+  private[ops] def buildDedupStore(s: SparkSession, dir: String): String = {
+    val src = Round6Ops.scratchDir(
+      s"graft_dedupwaves_${VecIndex.dirDigest(dir)}")
+    val store = Round6Ops.scratchDir(dedupStoreName(dir))
+    writeWaves(s, dir, src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          ingestWave(s, store, batch, batchId)
+          ()
+        }
+      }
+      .start()
+    Round6Ops.drainTo(q, store)
+    store
+  }
+
   val queries: Seq[Q] = Seq(
     // E6×E12: streaming exact-dedup ingest against a persisted
     // fingerprint store. Winner per fingerprint = first wave that saw
@@ -148,29 +178,7 @@ object Round11More {
          |  CAST(COALESCE(k.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
          |FROM nsrc n LEFT JOIN ksrc k ON k.source = n.source
          |ORDER BY n.source""".stripMargin) { (s, dir) =>
-      val src = Round6Ops.scratchDir(
-        s"graft_dedupwaves_${VecIndex.dirDigest(dir)}")
-      val store = Round6Ops.scratchDir(dedupStoreName(dir))
-      writeWaves(s, dir, src)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("h",
-          org.apache.spark.sql.types.StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-      val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (!batch.isEmpty) {
-            ingestWave(s, store, batch, batchId)
-            ()
-          }
-        }
-        .start()
-      Round6Ops.drainTo(q, store)
-      val winners = s.read.parquet(store)
+      val winners = s.read.parquet(buildDedupStore(s, dir))
       val nsrc = Tables.table(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),

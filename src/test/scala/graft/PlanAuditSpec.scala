@@ -189,7 +189,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q270: rank, dup-suppression and budget-cumsum windows all stay
     // PARTITIONED BY qid (and (qid, h)); q271's member-sim stage is a
     // keyed hash aggregate, the k² pair stage is broadcast-sized
-    "q270_context_budget_packing", "q271_cluster_quality_eval")
+    "q270_context_budget_packing", "q271_cluster_quality_eval",
+    // q272 is deliberately absent: its per-source KMV window is keyed,
+    // but the union-MERGE window is a deliberately tiny global rank
+    // over O(sources·k) sketch rows (the coordinator-side merge step);
+    // q273's stages are hash aggregates + broadcast merge joins;
+    // q274's compaction is one keyed repartition
+    "q273_heldout_tokenizer_fit", "q274_dedup_store_compaction")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -349,7 +355,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q270: the query batch broadcasts into the candidate scan;
       // q271: the codebook broadcasts into assignment, member-sim and
       // the k² pair stage
-      "q270_context_budget_packing", "q271_cluster_quality_eval")
+      "q270_context_budget_packing", "q271_cluster_quality_eval",
+      // q272: the per-source exact counts broadcast into the sketch
+      // rows; q273: each trained merge is a broadcast 1-row join and
+      // the in-sample ratios broadcast into the gap join
+      "q272_kmv_distinct_sketch", "q273_heldout_tokenizer_fit")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
