@@ -43,11 +43,11 @@ object Round10More {
   /** Per-token rolling-131 char fold — the [[Dedup.sparkTokenHashes]]
     * kernel applied to a single string column.
     */
-  private def sparkHash(t: String): String =
+  private[ops] def sparkHash(t: String): String =
     s"aggregate(transform(filter(split($t, ''), c -> c != ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a * 131 + b) % $M)"
 
-  private def duckHash(t: String): String =
+  private[ops] def duckHash(t: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(string_split($t, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 131 + b) % $M)"

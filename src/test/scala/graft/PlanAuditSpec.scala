@@ -195,7 +195,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // over O(sources·k) sketch rows (the coordinator-side merge step);
     // q273's stages are hash aggregates + broadcast merge joins;
     // q274's compaction is one keyed repartition
-    "q273_heldout_tokenizer_fit", "q274_dedup_store_compaction")
+    "q273_heldout_tokenizer_fit", "q274_dedup_store_compaction",
+    // q275/q276: pure keyed aggregates — the audit proves no window
+    // or global sort sneaks in as the plans evolve
+    "q275_epoch_shuffle_audit", "q276_release_manifest")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -359,7 +362,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q272: the per-source exact counts broadcast into the sketch
       // rows; q273: each trained merge is a broadcast 1-row join and
       // the in-sample ratios broadcast into the gap join
-      "q272_kmv_distinct_sketch", "q273_heldout_tokenizer_fit")
+      "q272_kmv_distinct_sketch", "q273_heldout_tokenizer_fit",
+      // q275: the 32-row epoch-2/source tallies broadcast into the
+      // shard join; q276: the 8-row manifest broadcasts into the
+      // data-side verification join
+      "q275_epoch_shuffle_audit", "q276_release_manifest")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
