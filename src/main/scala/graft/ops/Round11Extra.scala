@@ -41,23 +41,26 @@ object Round11Extra {
   private val HOLD_MOD = 3 // held-out slice: doc_id % 3 == 0
   private val NBKT = 16 // compacted store buckets
 
-  /** Per-doc (source, bigram-hash) pairs — q267's positional bigram
-    * kernel, deduplicated at the (source, b) grain.
+  /** Per-doc (source, bigram-hash) pairs — q267's shared positional
+    * bigram kernel, deduplicated at the (source, b) grain and SHIFTED
+    * to [1, M]: a raw hash of exactly 0 would both divide-by-zero the
+    * KMV estimator and collide with the kth_hash = 0 saturation
+    * sentinel.
     */
   private def bigrams(docs: DataFrame): DataFrame =
     docs.withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
       .select(col("source"),
-        explode(expr("transform(sequence(0, size(th) - 2), " +
-          s"i -> (element_at(th, i + 1) * 131 + " +
-          s"element_at(th, i + 2)) % $M)")).as("b"))
+        explode(expr(
+          s"transform(${Round11Ops.sparkBigramHashes()}, x -> x + 1)"))
+          .as("b"))
       .distinct()
 
   private val duckBigrams: String =
     s"""bgd AS MATERIALIZED (
        |  SELECT DISTINCT source, b FROM (
        |    SELECT source,
-       |      unnest(list_transform(range(len(th) - 1),
-       |        i -> (th[i+1] * 131 + th[i+2]) % $M)) AS b
+       |      unnest(list_transform(${Round11Ops.duckBigramHashes()},
+       |        x -> x + 1)) AS b
        |    FROM (SELECT source, ${Round11Ops.duckPosTokenHashes} AS th
        |          FROM documents)))""".stripMargin
 

@@ -47,9 +47,10 @@ object Round11More {
     * unique), anti-join against the store, append survivors. Returns
     * the number of appended rows. Idempotent by construction: a
     * replayed wave's fingerprints are all in the store already, so the
-    * anti-join drops everything. At 100 TB the store is bucketed by
-    * fingerprint so the anti-join is a co-located hash probe, not a
-    * full-store shuffle.
+    * anti-join drops everything. The delta is checkpointed so the
+    * count and the append run the dedup + anti-join exactly once. At
+    * 100 TB the store is bucketed by fingerprint so the anti-join is a
+    * co-located hash probe, not a full-store shuffle.
     */
   private[ops] def ingestWave(
       s: SparkSession, storeDir: String, wave: DataFrame,
@@ -69,8 +70,10 @@ object Round11More {
         s.read.parquet(storeDir).select(col("h")), Seq("h"), "left_anti")
     val out = fresh.withColumn("wave", lit(waveId))
       .select(col("h"), col("doc_id"), col("source"), col("wave"))
+      .localCheckpoint(true) // eager: one execution feeds count + write
     val n = out.count()
     if (n > 0) out.write.mode("append").parquet(storeDir)
+    out.unpersist()
     n
   }
 
@@ -108,11 +111,26 @@ object Round11More {
     }
   }
 
-  /** Run the full wave-streamed ingest for `dir` from scratch and
-    * return the persisted store path — q268's pipeline, shared so the
-    * compaction gate (q274) rebuilds the same artifact it compacts.
+  private val builtStores = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** Run the full wave-streamed ingest for `dir` and return the
+    * persisted store path — q268's pipeline, shared with the
+    * compaction gate (q274). Built ONCE per (session, dir), the
+    * KMeans.codebook train-once discipline: the suite's second
+    * consumer serves from the artifact instead of re-streaming the
+    * corpus (the replay-idempotence the spec proves makes reuse safe —
+    * nothing a re-run appends could change the content).
     */
-  private[ops] def buildDedupStore(s: SparkSession, dir: String): String = {
+  private[ops] def buildDedupStore(s: SparkSession, dir: String): String =
+    builtStores
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => buildDedupStoreFresh(s, dir))
+
+  private def buildDedupStoreFresh(
+      s: SparkSession, dir: String): String = {
     val src = Round6Ops.scratchDir(
       s"graft_dedupwaves_${VecIndex.dirDigest(dir)}")
     val store = Round6Ops.scratchDir(dedupStoreName(dir))

@@ -77,6 +77,19 @@ object Round11Ops {
       s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"$th[i+1:i+$w]), (a, b) -> (a * 131 + b) % $M)))"
 
+  /** Positional bigram hashes over a token-hash array column `th` —
+    * shared by q267's repetition counts and q272's KMV sketch (one
+    * kernel, two gates: a constant change cannot desync their oracles).
+    */
+  private[ops] def sparkBigramHashes(th: String = "th"): String =
+    s"transform(sequence(0, size($th) - 2), " +
+      s"i -> (element_at($th, i + 1) * 131 + " +
+      s"element_at($th, i + 2)) % $M)"
+
+  private[ops] def duckBigramHashes(th: String = "th"): String =
+    s"list_transform(range(len($th) - 1), " +
+      s"i -> ($th[i+1] * 131 + $th[i+2]) % $M)"
+
   /** `th` CTE: per-doc positional token hashes (the shared front half of
     * the q265/q266 oracles).
     */
@@ -244,20 +257,31 @@ object Round11Ops {
          |  FROM cand c LEFT JOIN truth t
          |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
          |  GROUP BY c.config)
-         |SELECT p.config, CAST(g.nb AS BIGINT) AS n_bands,
-         |  CAST(g.r AS BIGINT) AS rows_per_band, p.n_cand, p.n_tp,
+         |SELECT g.config, CAST(g.nb AS BIGINT) AS n_bands,
+         |  CAST(g.r AS BIGINT) AS rows_per_band,
+         |  CAST(COALESCE(p.n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(COALESCE(p.n_tp, 0) AS BIGINT) AS n_tp,
          |  n.n_truth,
-         |  CAST(CASE WHEN p.n_cand = 0 THEN 0
+         |  CAST(CASE WHEN COALESCE(p.n_cand, 0) = 0 THEN 0
          |    ELSE (1000000 * p.n_tp) // p.n_cand END AS BIGINT) AS prec6,
          |  CAST(CASE WHEN n.n_truth = 0 THEN 0
-         |    ELSE (1000000 * p.n_tp) // n.n_truth END AS BIGINT) AS rec6
-         |FROM per p JOIN cfg g ON g.config = p.config, nt n
-         |ORDER BY p.config""".stripMargin) { (s, dir) =>
-      val sg = Tables.table(s, dir, "documents")
+         |    ELSE (1000000 * COALESCE(p.n_tp, 0)) // n.n_truth END
+         |    AS BIGINT) AS rec6
+         |FROM cfg g LEFT JOIN per p ON p.config = g.config, nt n
+         |ORDER BY g.config""".stripMargin) { (s, dir) =>
+      // materialize the shingle and signature frames ONCE (q53's
+      // lesson): 15 band projections + the prefix-join truth would
+      // otherwise each re-run the per-char fold over the whole corpus
+      // (measured 13.7 s -> ~2 s at sf0.01)
+      def pin(df: DataFrame): DataFrame = {
+        val cp = df.localCheckpoint(true)
+        s.createDataFrame(cp.rdd, cp.schema)
+      }
+      val sg = pin(Tables.table(s, dir, "documents")
         .withColumn("th", expr(sparkPosTokenHashes))
         .filter(size(col("th")) >= 3)
-        .select(col("doc_id"), expr(sparkShingles(3)).as("sg"))
-      val mh = sg.select(col("doc_id"), expr(sparkMh("sg")).as("mh"))
+        .select(col("doc_id"), expr(sparkShingles(3)).as("sg")))
+      val mh = pin(sg.select(col("doc_id"), expr(sparkMh("sg")).as("mh")))
       // one small frame per (config, band): static plans, tiny union —
       // at most 1+2+4+8 = 15 projections of the one mh scan
       val bandFrames = for {
@@ -313,18 +337,22 @@ object Round11Ops {
         .agg(count(lit(1)).cast("bigint").as("n_cand"),
           sum(when(col("hit").isNotNull, 1L).otherwise(0L))
             .cast("bigint").as("n_tp"))
-      val cfgDf = bands.select(col("config"), col("nb"), col("r"))
-        .distinct()
-      per.join(broadcast(cfgDf), "config")
+      // the curve is driven from the literal config table (left join),
+      // so a banding that yields ZERO candidates still emits its row
+      import s.implicits._
+      val cfgDf = LSH_CONFIGS.toDF("config", "nb", "r")
+      cfgDf.join(per, Seq("config"), "left")
         .crossJoin(broadcast(nt))
         .select(col("config"), col("nb").cast("bigint").as("n_bands"),
           col("r").cast("bigint").as("rows_per_band"),
-          col("n_cand"), col("n_tp"), col("n_truth"),
-          when(col("n_cand") === 0, 0L)
+          coalesce(col("n_cand"), lit(0L)).cast("bigint").as("n_cand"),
+          coalesce(col("n_tp"), lit(0L)).cast("bigint").as("n_tp"),
+          col("n_truth"),
+          when(coalesce(col("n_cand"), lit(0L)) === 0, 0L)
             .otherwise(expr("(1000000 * n_tp) div n_cand"))
             .cast("bigint").as("prec6"),
           when(col("n_truth") === 0, 0L)
-            .otherwise(expr("(1000000 * n_tp) div n_truth"))
+            .otherwise(expr("(1000000 * coalesce(n_tp, 0L)) div n_truth"))
             .cast("bigint").as("rec6"))
         .orderBy(col("config"))
     },
@@ -414,8 +442,7 @@ object Round11Ops {
       s"""WITH $duckThCte,
          |bg AS MATERIALIZED (
          |  SELECT doc_id, source, len(th) AS ntk,
-         |    unnest(list_transform(range(len(th) - 1),
-         |      i -> (th[i+1] * 131 + th[i+2]) % $M)) AS b
+         |    unnest(${duckBigramHashes()}) AS b
          |  FROM th),
          |cnt AS (
          |  SELECT doc_id, source, ntk, b, COUNT(*) AS c
@@ -442,9 +469,7 @@ object Round11Ops {
         .withColumn("th", expr(sparkPosTokenHashes))
         .select(col("doc_id"), col("source"),
           size(col("th")).cast("bigint").as("ntk"),
-          explode(expr("transform(sequence(0, size(th) - 2), " +
-            s"i -> (element_at(th, i + 1) * 131 + " +
-            s"element_at(th, i + 2)) % $M)")).as("b"))
+          explode(expr(sparkBigramHashes())).as("b"))
       val cnt = bg.groupBy(col("doc_id"), col("source"), col("ntk"),
         col("b")).agg(count(lit(1)).as("c"))
       val perdoc = cnt.groupBy(col("doc_id"), col("source"))

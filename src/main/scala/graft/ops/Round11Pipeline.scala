@@ -65,13 +65,17 @@ object Round11Pipeline {
          |  SELECT shard, CAST(MAX(c) AS BIGINT) AS maxsrc1 FROM (
          |    SELECT s1 AS shard, source, COUNT(*) AS c
          |    FROM k GROUP BY s1, source)
-         |  GROUP BY shard)
-         |SELECT e1.shard, e1.n_e1, COALESCE(e2.n_e2, 0) AS n_e2,
-         |  e1.collide, s.maxsrc1
-         |FROM e1
-         |LEFT JOIN e2 ON e2.shard = e1.shard
-         |JOIN src s ON s.shard = e1.shard
-         |ORDER BY e1.shard""".stripMargin) { (s, dir) =>
+         |  GROUP BY shard),
+         |spine AS (SELECT unnest(range($NSHARD)) AS shard)
+         |SELECT sp.shard, COALESCE(e1.n_e1, 0) AS n_e1,
+         |  COALESCE(e2.n_e2, 0) AS n_e2,
+         |  COALESCE(e1.collide, 0) AS collide,
+         |  COALESCE(s.maxsrc1, 0) AS maxsrc1
+         |FROM spine sp
+         |LEFT JOIN e1 ON e1.shard = sp.shard
+         |LEFT JOIN e2 ON e2.shard = sp.shard
+         |LEFT JOIN src s ON s.shard = sp.shard
+         |ORDER BY sp.shard""".stripMargin) { (s, dir) =>
       val k = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           expr(s"($key1) % $NSHARD").as("s1"),
@@ -86,11 +90,19 @@ object Round11Pipeline {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("shard"))
         .agg(max(col("c")).cast("bigint").as("maxsrc1"))
-      e1.join(broadcast(e2), Seq("shard"), "left")
-        .join(broadcast(src), Seq("shard"))
-        .select(col("shard"), col("n_e1"),
+      // the audit is driven from the full 0..31 shard spine: a shard
+      // empty in EITHER epoch still reports, so the per-epoch sums are
+      // total by construction
+      import s.implicits._
+      val spine = (0L until NSHARD).toDF("shard")
+      spine.join(broadcast(e1), Seq("shard"), "left")
+        .join(broadcast(e2), Seq("shard"), "left")
+        .join(broadcast(src), Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n_e1"), lit(0L)).cast("bigint").as("n_e1"),
           coalesce(col("n_e2"), lit(0L)).cast("bigint").as("n_e2"),
-          col("collide"), col("maxsrc1"))
+          coalesce(col("collide"), lit(0L)).cast("bigint").as("collide"),
+          coalesce(col("maxsrc1"), lit(0L)).cast("bigint").as("maxsrc1"))
         .orderBy(col("shard"))
     },
 
