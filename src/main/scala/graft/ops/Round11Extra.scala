@@ -36,8 +36,8 @@ import graft.Tables
   */
 object Round11Extra {
 
-  private val M = 1000000007L
-  private val KMV_K = 64
+  private[ops] val M = 1000000007L
+  private[ops] val KMV_K = 64
   private val HOLD_MOD = 3 // held-out slice: doc_id % 3 == 0
   private val NBKT = 16 // compacted store buckets
 
@@ -47,22 +47,26 @@ object Round11Extra {
     * KMV estimator and collide with the kth_hash = 0 saturation
     * sentinel.
     */
-  private def bigrams(docs: DataFrame): DataFrame =
+  private[ops] def bigrams(docs: DataFrame): DataFrame =
     docs.withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      // 1-token guard mirrors q267: sequence(0, -1) descends and
+      // element_at(th, 0) errors on a general corpus
+      .filter(size(col("th")) >= 2)
       .select(col("source"),
         explode(expr(
           s"transform(${Round11Ops.sparkBigramHashes()}, x -> x + 1)"))
           .as("b"))
       .distinct()
 
-  private val duckBigrams: String =
+  private[ops] val duckBigrams: String =
     s"""bgd AS MATERIALIZED (
        |  SELECT DISTINCT source, b FROM (
        |    SELECT source,
        |      unnest(list_transform(${Round11Ops.duckBigramHashes()},
        |        x -> x + 1)) AS b
        |    FROM (SELECT source, ${Round11Ops.duckPosTokenHashes} AS th
-       |          FROM documents)))""".stripMargin
+       |          FROM documents)
+       |    WHERE len(th) >= 2))""".stripMargin
 
   val queries: Seq[Q] = Seq(
     // E4: mergeable KMV distinct sketch vs exact referee. kth_hash = 0

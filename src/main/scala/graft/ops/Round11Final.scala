@@ -190,11 +190,13 @@ object Round11Final {
          |  FROM cl${Round7Ops.CITERS} a JOIN cl${Round7Ops.CITERS} b
          |    ON a.cid <> b.cid
          |  GROUP BY a.cid)
-         |SELECT i.cid, i.n, i.intra6,
+         |SELECT c.cid, CAST(COALESCE(i.n, 0) AS BIGINT) AS n,
+         |  CAST(COALESCE(i.intra6, 0) AS BIGINT) AS intra6,
          |  CAST(c.sep12 AS BIGINT) AS sep12,
-         |  CAST(i.intra6 * 1000000 - c.sep12 AS BIGINT) AS margin
-         |FROM intra i JOIN cpair c ON c.cid = i.cid
-         |ORDER BY i.cid""".stripMargin) { (s, dir) =>
+         |  CAST(COALESCE(i.intra6, 0) * 1000000 - c.sep12 AS BIGINT)
+         |    AS margin
+         |FROM cpair c LEFT JOIN intra i ON i.cid = c.cid
+         |ORDER BY c.cid""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), Round7Ops.CITERS)
       val mem = KMeans.assign(e, cb)
@@ -213,10 +215,19 @@ object Round11Final {
             "CAST(0 AS BIGINT), (x, y) -> x + y)").as("cc"))
         .groupBy(col("cid"))
         .agg(max(col("cc")).cast("bigint").as("sep12"))
-      intra.join(broadcast(cpair), "cid")
-        .select(col("cid"), col("n"), col("intra6"), col("sep12"),
-          (col("intra6") * 1000000L - col("sep12")).cast("bigint")
-            .as("margin"))
+      // report-row totality: the output is driven from the codebook cid
+      // spine (cpair has every cid by construction for k >= 2) with a
+      // LEFT JOIN to the measured intra frame — a codebook cell with
+      // ZERO assigned members still reports (n=0, intra6=0), and an
+      // empty cell is exactly the stale-cell signal this gate exists to
+      // surface.
+      cpair.join(broadcast(intra), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n"),
+          coalesce(col("intra6"), lit(0L)).cast("bigint").as("intra6"),
+          col("sep12"),
+          (coalesce(col("intra6"), lit(0L)) * 1000000L - col("sep12"))
+            .cast("bigint").as("margin"))
         .orderBy(col("cid"))
     })
 }

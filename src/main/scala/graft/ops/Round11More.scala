@@ -275,9 +275,15 @@ object Round11More {
         .agg(count(lit(1)).cast("bigint").as("cnt"))
         .withColumn("gen", lit(1L))
         .write.mode("append").parquet(histDir)
-      delta.select(col("source"), col("h")).distinct()
+      // the anti-join result is eagerly PINNED before the append: the
+      // sink is also the join's build side, and while Spark's eager
+      // file listing happens to make the self-referential append work,
+      // only the overwrite case is actually guarded — a replan/retry
+      // could re-list the directory mid-write (ingestWave's discipline).
+      val newFps = delta.select(col("source"), col("h")).distinct()
         .join(s.read.parquet(fpsDir), Seq("source", "h"), "left_anti")
-        .write.mode("append").parquet(fpsDir)
+        .localCheckpoint(true)
+      newFps.write.mode("append").parquet(fpsDir)
       // card: derived from STATE only
       val hist = s.read.parquet(histDir)
         .groupBy(col("source"), col("ntk"))

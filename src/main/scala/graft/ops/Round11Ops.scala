@@ -42,9 +42,25 @@ object Round11Ops {
 
   private val M = 1000000007L
   private val SEQ_LEN = 128 // packed sequence length (tokens)
-  private val PACK_BUCKET = 64L // docs per offset bucket (two-phase cumsum)
+  private val PACK_BUCKET_MIN = 64L // floor for the derived offset bucket
   private val DECON_W = 10 // decontamination shingle width (tokens)
-  private val DECON_MOD = 7 // benchmark slice: doc_id % 7 == 0
+  private val BENCH_N = 64L // q266: expected benchmark-slice size (docs)
+  private val BMOD = 1048576L // 2^20 — Knuth-hash admission modulus
+  private val BMULT = 2654435761L // Knuth, 2^32/phi (KMeans discipline)
+
+  /** q264's offset-bucket size: the smallest power of two >= sqrt(n)
+    * (floor PACK_BUCKET_MIN) — the srcbFor(n) discipline from round 9.
+    * With bucket ~ sqrt(n) BOTH phases are O(sqrt(n))-bounded: the
+    * bucket-offset frame is n/bucket <= sqrt(n) rows (the only
+    * unpartitioned window), and each within-bucket window is ~sqrt(n)
+    * rows, partitioned by bucket. A CONSTANT bucket (the round-11
+    * shape, 64) leaves the offset frame linear in the corpus.
+    */
+  private[ops] def packBucketFor(n: Long): Long = {
+    var b = PACK_BUCKET_MIN
+    while (b.toDouble < math.sqrt(math.max(n, 1L).toDouble)) b *= 2
+    b
+  }
   private val TOP2_THRESH = 150000L // 0.15: top-bigram coverage limit
   private val DUP2_THRESH = 250000L // 0.25: duplicated-bigram coverage limit
 
@@ -122,8 +138,13 @@ object Round11Ops {
     // lands in them; n_split_docs counts docs whose content crosses a
     // sequence boundary (the docs whose loss a packer must mask across
     // the cut). The Spark side computes the global offset with
-    // per-bucket partial sums + a broadcast offset frame: the only
-    // unpartitioned window runs over n/64 bucket rows, never over docs.
+    // per-bucket partial sums + an offset frame: the bucket size is
+    // DERIVED (~sqrt(n), packBucketFor) so the only unpartitioned
+    // window runs over <= sqrt(n) bucket rows, never over docs, and
+    // the offset frame is broadcast only while it is provably small
+    // (<= 2^18 rows); above that it joins by shuffle. The bucket choice
+    // cannot change the output — st is the same global cumsum for any
+    // bucketing — so the oracle needs no mirror of it.
     Q(
       "q264_concat_split_packing",
       s"""WITH d AS (
@@ -160,14 +181,16 @@ object Round11Ops {
          |UNION ALL SELECT 'n_docs', -1, n FROM tot
          |UNION ALL SELECT 'n_split_docs', -1, spl FROM tot
          |ORDER BY metric, k""".stripMargin) { (s, dir) =>
+      val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
+      val bucket = packBucketFor(n)
       val d = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          expr(s"doc_id div $PACK_BUCKET").as("bkt"),
+          expr(s"doc_id div $bucket").as("bkt"),
           size(split(col("text"), " ")).cast("bigint").as("ntk"))
         .withColumn("rec", col("ntk") + 1)
       // phase 1: per-bucket record totals; phase 2: running offsets over
-      // the TINY bucket frame (n/64 rows — fine single-partition);
-      // phase 3: within-bucket prefix sums, partitioned by bucket.
+      // the ~sqrt(n)-row bucket frame (fine single-partition); phase 3:
+      // within-bucket prefix sums, partitioned by bucket.
       val boff = d.groupBy(col("bkt"))
         .agg(sum(col("rec")).as("btot"))
         .withColumn("off",
@@ -176,7 +199,11 @@ object Round11Ops {
         .select(col("bkt"), col("off"))
       val wb = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val c = d.join(broadcast(boff), "bkt")
+      // broadcast only under a derived bound: the frame has ceil(n /
+      // bucket) <= sqrt(n) rows, small until n ~ 7e10 docs; beyond that
+      // the equi-join shuffles like any other keyed join.
+      val boffSmall = n / bucket <= (1L << 18)
+      val c = d.join(if (boffSmall) broadcast(boff) else boff, "bkt")
         .withColumn("st",
           col("off") + coalesce(sum(col("rec")).over(wb), lit(0L)))
       val spans = c.select(col("doc_id"),
@@ -357,25 +384,37 @@ object Round11Ops {
         .orderBy(col("config"))
     },
 
-    // Governance: benchmark decontamination. The held-out "benchmark" is
-    // the doc_id % 7 = 0 slice; a training doc is contaminated when it
-    // shares ANY 10-token shingle with any benchmark doc. Per-source
-    // contamination report + '*' total. The benchmark shingle set rides
-    // a broadcast (eval suites are ~1e4 docs at any corpus scale); the
-    // training side is one scan + explode, no shuffle wider than the
-    // per-source tally.
+    // Governance: benchmark decontamination. The held-out "benchmark"
+    // is a deterministic FIXED-COUNT slice — a Knuth-hash admission
+    // threshold targeting BENCH_N = 64 docs regardless of corpus size
+    // (the q248/KMeans trainSample discipline; round 11 used doc_id % 7,
+    // whose 1/7-of-corpus slice made the broadcast grow linearly with
+    // the data, contradicting the operator's own tiny-eval-suite
+    // assumption). A training doc is contaminated when it shares ANY
+    // 10-token shingle with any benchmark doc. Per-source contamination
+    // report + '*' total. The benchmark shingle set rides a broadcast —
+    // now provably bounded at ~BENCH_N docs x ~90 shingles at every
+    // corpus scale; the training side is one scan + explode, no shuffle
+    // wider than the per-source tally.
     Q(
       "q266_benchmark_decontamination",
       s"""WITH $duckThCte,
+         |bthr AS (
+         |  SELECT LEAST($BMOD, ($BMOD * $BENCH_N
+         |    + GREATEST(CAST(COUNT(*) AS BIGINT), 1) - 1)
+         |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1)) AS t
+         |  FROM documents),
          |sh AS MATERIALIZED (
          |  SELECT doc_id, source, ${duckShingles(DECON_W)} AS sg
          |  FROM th WHERE len(th) >= $DECON_W),
          |bg AS MATERIALIZED (
          |  SELECT DISTINCT unnest(sg) AS g FROM sh
-         |  WHERE doc_id % $DECON_MOD = 0),
+         |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
+         |    < (SELECT t FROM bthr)),
          |tr AS MATERIALIZED (
          |  SELECT doc_id, source, sg FROM sh
-         |  WHERE doc_id % $DECON_MOD <> 0),
+         |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
+         |    >= (SELECT t FROM bthr)),
          |contam AS MATERIALIZED (
          |  SELECT DISTINCT t.doc_id, t.source
          |  FROM (SELECT doc_id, source, unnest(sg) AS g FROM tr) t
@@ -396,14 +435,17 @@ object Round11Ops {
          |  contam_id_sum
          |FROM (SELECT * FROM persrc UNION ALL SELECT * FROM tot)
          |ORDER BY source""".stripMargin) { (s, dir) =>
+      val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
+      val thr = math.min(BMOD, (BMOD * BENCH_N + n - 1) / n)
+      val badm = ((col("doc_id") % BMOD) * BMULT) % BMOD
       val sh = Tables.table(s, dir, "documents")
         .withColumn("th", expr(sparkPosTokenHashes))
         .filter(size(col("th")) >= DECON_W)
         .select(col("doc_id"), col("source"),
           expr(sparkShingles(DECON_W)).as("sg"))
-      val bg = sh.filter(col("doc_id") % DECON_MOD === 0)
+      val bg = sh.filter(badm < thr)
         .select(explode(col("sg")).as("g")).distinct()
-      val tr = sh.filter(col("doc_id") % DECON_MOD =!= 0)
+      val tr = sh.filter(badm >= thr)
       val contam = tr
         .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
         .join(broadcast(bg), Seq("g"), "leftsemi")
@@ -443,7 +485,7 @@ object Round11Ops {
          |bg AS MATERIALIZED (
          |  SELECT doc_id, source, len(th) AS ntk,
          |    unnest(${duckBigramHashes()}) AS b
-         |  FROM th),
+         |  FROM th WHERE len(th) >= 2),
          |cnt AS (
          |  SELECT doc_id, source, ntk, b, COUNT(*) AS c
          |  FROM bg GROUP BY doc_id, source, ntk, b),
@@ -465,8 +507,13 @@ object Round11Ops {
          |FROM perdoc
          |GROUP BY source
          |ORDER BY source""".stripMargin) { (s, dir) =>
+      // the size guard matters on a general corpus: a 1-token doc makes
+      // sparkBigramHashes' sequence(0, -1) DESCEND and element_at(th, 0)
+      // error — mirror of the duck CTE's len(th) >= 2 (which yields an
+      // empty range and silently drops the doc instead).
       val bg = Tables.table(s, dir, "documents")
         .withColumn("th", expr(sparkPosTokenHashes))
+        .filter(size(col("th")) >= 2)
         .select(col("doc_id"), col("source"),
           size(col("th")).cast("bigint").as("ntk"),
           explode(expr(sparkBigramHashes())).as("b"))

@@ -204,30 +204,31 @@ object Similarity {
 
     // E6/E7 MLlib scale path: MinHashLSH approx similarity self-join over
     // token-3-gram SHINGLE sets. Shingling (q79's front half) expands the
-    // feature space from the ~40-word vocabulary to a huge shingle space,
-    // so LSH buckets stay small and no input cap is needed — this is the
-    // exact featurization a 100 TB near-dup pass runs. The gate re-scores
-    // every emitted candidate with the EXACT shingle Jaccard (codegen
-    // token_jaccard) at >= 0.8, and the oracle recomputes that exact set
-    // with q46's formula (the size-band join predicate is implied by
-    // J >= 0.8: min(|A|,|B|) >= 0.8*max — it only prunes the oracle's
-    // pair search, never its answer). LSH is recall-verified against the
-    // exact set at the gate SFs; 6 OR-ed tables put the per-pair miss
-    // probability at (1-0.8)^6 ≈ 6e-5. PINNED ASSUMPTION: the gate
-    // compares the LSH candidate set EXACTLY against the exact-Jaccard
-    // oracle, which holds only while Spark's seeded MinHashLSH/HashingTF
-    // hash functions stay stable (true for the pinned Spark 4.1.2). If a
-    // Spark upgrade ever reshuffles the sketch, re-gate on measured
-    // recall >= threshold (q140's pattern) — q171 is the deterministic
-    // exact-guarantee alternative either way.
+    // feature space from the ~40-word vocabulary to a huge shingle space —
+    // this is the exact featurization a 100 TB near-dup pass runs. The
+    // gate re-scores every emitted candidate with the EXACT shingle
+    // Jaccard at >= 0.8, and the oracle recomputes that exact set with
+    // q46's formula. LSH is recall-verified against the exact set at the
+    // gate SFs; 6 OR-ed tables put the per-pair miss probability at
+    // (1-0.8)^6 ≈ 6e-5. PINNED ASSUMPTION: the gate compares the LSH
+    // candidate set EXACTLY against the exact-Jaccard oracle, which holds
+    // only while Spark's seeded MinHashLSH/HashingTF hash functions stay
+    // stable (true for the pinned Spark 4.1.2). If a Spark upgrade ever
+    // reshuffles the sketch, re-gate on measured recall >= threshold
+    // (q140's pattern) — q171 is the deterministic exact-guarantee
+    // alternative either way.
     Q(
       "q53_minhash_lsh_ml",
       exactShingleJaccardSql) { (s, dir) =>
-      graft.functions.TokenJaccard.register(s)
+      graft.functions.TokenJaccardSorted.register(s)
+      // Shingle arrays are sorted ONCE per doc (array_sort is per-doc,
+      // not per-pair) so the exact rescoring can use the zero-allocation
+      // merge kernel token_jaccard_sorted instead of per-pair hash sets —
+      // the rescoring join was 54 of the 60 s this query cost at sf1.
       val shingles =
-        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+        "array_sort(array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', element_at(toks, i + 1), " +
-          "element_at(toks, i + 2), element_at(toks, i + 3))))"
+          "element_at(toks, i + 2), element_at(toks, i + 3)))))"
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -246,28 +247,50 @@ object Similarity {
       // Candidate join done MANUALLY on the (table, minhash) composite
       // key instead of model.approxSimilarityJoin: the MLlib join
       // explodes the same keys internally but then computes a hashed
-      // distance per DUPLICATE candidate (once per shared bucket) with
-      // the full shingle arrays riding every copy through the shuffle —
-      // measured superlinear (slope 1.45, 93 s at sf1) on this corpus.
-      // Joining on bucket equality, reducing to DISTINCT id pairs FIRST
-      // (a fixed-width shuffle), and exact-scoring each survivor ONCE
-      // is the q46/q171 banded-join discipline; it is also strictly
-      // higher-recall — approxSimilarityJoin's hashed-distance <= 0.5
-      // cut drops ~1.7% of true J = 0.8 pairs (P[>3 of 6 tables
-      // differ]); here a pair is missed only when ALL 6 tables differ:
-      // (1-J)^6 ~ 6e-5.
-      val keys = signed.select(col("doc_id"),
+      // distance per DUPLICATE candidate with the full shingle arrays
+      // riding every copy through the shuffle — measured superlinear
+      // (slope 1.45, 93 s at sf1). Joining on bucket equality, reducing
+      // to DISTINCT id pairs FIRST (a fixed-width shuffle), and
+      // exact-scoring each survivor ONCE is the q46/q171 banded-join
+      // discipline; it is also strictly higher-recall — a pair is missed
+      // only when ALL 6 tables differ: (1-J)^6 ~ 6e-5.
+      //
+      // Two bounds tame the bucket blowup this corpus's SATURATING
+      // shingle space causes (31-word vocab => ~30k possible shingles,
+      // so past ~sf0.3 new docs land in EXISTING minhash buckets and
+      // per-bucket pairs grow n² — measured slope 1.12, 30 s at sf1):
+      //  1. EXACT size-ratio predicate in the join: J >= 0.8 forces
+      //     5*min(|A|,|B|) >= 4*max — the same length filter the oracle's
+      //     pair search uses, so it can never drop a true pair (verified
+      //     identical output at sf0.01/0.1/1). Cuts candidate pairs ~4x
+      //     BEFORE the distinct + scoring shuffles.
+      //  2. DF-capped posting lists (q177's bounded-posting discipline):
+      //     each (table, minhash) bucket keeps its first DF_CAP=64 docs,
+      //     bounding total pairs by 3*n*DF_CAP — linear in the corpus. A
+      //     no-op at the gate SFs (max bucket df: 8 at sf0.01, 31 at
+      //     sf0.1) and verified pair-identical at sf1 (max df 179): a
+      //     pair dropped from one table's degenerate bucket re-surfaces
+      //     via the other 5 OR-ed tables, whose minhashes are
+      //     independent. This is the bound that holds at 100x, where a
+      //     boilerplate-heavy real corpus has the same saturating tail.
+      val DF_CAP = 64
+      val keys = signed.select(col("doc_id"), size(col("sg")).as("nsg"),
         posexplode(col("sig")).as(Seq("t", "h")))
-        .select(col("doc_id"), col("t"),
+        .select(col("doc_id"), col("nsg"), col("t"),
           org.apache.spark.ml.functions.vector_to_array(col("h"))
             .getItem(0).as("hv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("t"), col("hv")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= DF_CAP).drop("rn")
       val cand = keys.as("ka").join(keys.as("kb"),
         col("ka.t") === col("kb.t") && col("ka.hv") === col("kb.hv") &&
-          col("ka.doc_id") < col("kb.doc_id"))
+          col("ka.doc_id") < col("kb.doc_id") &&
+          least(col("ka.nsg"), col("kb.nsg")) * 5 >=
+            greatest(col("ka.nsg"), col("kb.nsg")) * 4)
         .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
         .distinct()
       val sgOnly = signed.select(col("doc_id"), col("sg"))
-      val jac = expr("token_jaccard(sg_a, sg_b)")
+      val jac = expr("token_jaccard_sorted(sg_a, sg_b)")
       cand
         .join(sgOnly.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")),
           "doc_a")

@@ -176,9 +176,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the chunking windows inside the micro-batch body are the same
     // doc_id-keyed shapes q258 audits
     "q263_stream_chunk_store",
-    // round 11: q264 is deliberately absent — its one global window
-    // runs over the n/64 bucket-offset frame (tiny by design; the
-    // per-doc prefix sums stay PARTITIONED BY bucket); q265-q267 have
+    // round 11/12: q264 is deliberately absent from THIS audit — its
+    // one remaining global window runs over the ~sqrt(n) bucket-offset
+    // frame (derived via packBucketFor since round 12; the per-doc
+    // prefix sums stay PARTITIONED BY bucket — the dedicated q264 test
+    // below pins exactly that split); q265-q267 have
     // no corpus-wide windows (band joins, prefix joins, hash
     // aggregates), so the audit just proves nothing regresses into a
     // single-partition collapse
@@ -218,6 +220,28 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(_.outputPartitioning == SinglePartition)
     assert(offending.nonEmpty,
       "detector failed to flag a global (unpartitioned) window")
+  }
+
+  test("q264 two-phase cumsum: the ONLY single-partition window is the " +
+    "derived bucket-offset frame; the doc-grain window stays keyed") {
+    checkEnv()
+    val p = plan("q264_concat_split_packing")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "q264 lost its window stages")
+    val single = wins.filter(w => feedingExchange(w.child)
+      .exists(_.outputPartitioning == SinglePartition))
+    // exactly one global window — the O(sqrt(n)) bucket-offset frame
+    // (bucket size is packBucketFor(n) ~ sqrt(n), so the frame is
+    // n/bucket <= sqrt(n) rows); every other window must be keyed
+    assert(single.size == 1,
+      s"q264: expected exactly 1 bucket-frame global window, " +
+        s"got ${single.size}")
+    val keyed = wins.filterNot(single.contains(_))
+    assert(keyed.nonEmpty, "q264 lost its keyed within-bucket window")
+    keyed.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "q264: a doc-grain window lost its PARTITION BY bucket")
+    }
   }
 
   test("q172 skyline plan is entirely SinglePartition-free") {

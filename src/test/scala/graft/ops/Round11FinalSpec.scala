@@ -44,6 +44,25 @@ class Round11FinalSpec extends AnyFunSuite {
         "dedup stage must be ACTIVE at the gate scale factor")
   }
 
+  test("q270's rank-then-join shape is sound: every embeddings vec_id " +
+    "has exactly one documents row") {
+    // The Spark side ranks candidates BEFORE joining documents while
+    // the oracle ranks after; the two agree iff the vec_id % 1e6 ->
+    // doc_id mapping is total and 1:1. A corpus integrity break would
+    // otherwise make the engines rank DIFFERENT candidate sets instead
+    // of failing loudly — this spec is the loud failure.
+    assume(available(dir), s"$dir absent — skipping")
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") % 1000000L).as("k"))
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("doc_id")).count()
+    assert(d.filter(col("count") =!= 1L).count() == 0L,
+      "doc_id is unique in documents")
+    assert(e.join(d, e("k") === d("doc_id"), "left_anti").count() == 0L,
+      "every embedding maps to a document row")
+  }
+
   test("q271: cells partition the corpus and the fixed-point metrics " +
     "stay in range") {
     assume(available(dir), s"$dir absent — skipping")

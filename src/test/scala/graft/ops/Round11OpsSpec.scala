@@ -87,11 +87,21 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(tot.head._2 == per.map(_._2).sum, "n_train sums to '*'")
     assert(tot.head._3 == per.map(_._3).sum, "n_contam sums to '*'")
     assert(tot.head._4 == per.map(_._4).sum, "id-sum sums to '*'")
+    // benchmark membership is the round-12 fixed-count Knuth-hash slice
+    // (corpus-size-independent: ~64 docs at every SF)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val expectedTrain = docs.where("doc_id % 7 <> 0 AND " +
-      "size(split(text, ' ')) >= 10").count()
+    val n = math.max(docs.count(), 1L)
+    val thr = math.min(1048576L, (1048576L * 64L + n - 1) / n)
+    val expectedTrain = docs.where(
+      s"((doc_id % 1048576) * 2654435761) % 1048576 >= $thr AND " +
+        "size(split(text, ' ')) >= 10").count()
     assert(tot.head._2 == expectedTrain,
       "training side = non-benchmark docs with >= 10 tokens")
+    val benchDocs = n - docs.where(
+      s"((doc_id % 1048576) * 2654435761) % 1048576 >= $thr").count()
+    assert(benchDocs >= 32 && benchDocs <= 128,
+      s"the benchmark slice is ~64 docs regardless of corpus size " +
+        s"(got $benchDocs)")
     per.foreach { case (_, train, contam, idSum) =>
       assert(contam <= train)
       assert((contam == 0) == (idSum == 0))
