@@ -29,7 +29,8 @@ object SparkEntry {
       Round9Ops.queries ++ Round9More.queries ++ Round10Ops.queries ++
       Round10More.queries ++ Round10Final.queries ++ Round11Ops.queries ++
       Round11More.queries ++ Round11Final.queries ++
-      Round11Extra.queries ++ Round11Pipeline.queries ++ Round12Ops.queries
+      Round11Extra.queries ++ Round11Pipeline.queries ++ Round12Ops.queries ++
+      Round12More.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

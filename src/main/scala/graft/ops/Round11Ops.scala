@@ -41,12 +41,12 @@ import graft.Tables
 object Round11Ops {
 
   private val M = 1000000007L
-  private val SEQ_LEN = 128 // packed sequence length (tokens)
+  private[ops] val SEQ_LEN = 128 // packed sequence length (tokens)
   private val PACK_BUCKET_MIN = 64L // floor for the derived offset bucket
-  private val DECON_W = 10 // decontamination shingle width (tokens)
-  private val BENCH_N = 64L // q266: expected benchmark-slice size (docs)
-  private val BMOD = 1048576L // 2^20 — Knuth-hash admission modulus
-  private val BMULT = 2654435761L // Knuth, 2^32/phi (KMeans discipline)
+  private[ops] val DECON_W = 10 // decontamination shingle width (tokens)
+  private[ops] val BENCH_N = 64L // q266: expected benchmark-slice size (docs)
+  private[ops] val BMOD = 1048576L // 2^20 — Knuth-hash admission modulus
+  private[ops] val BMULT = 2654435761L // Knuth, 2^32/phi (KMeans discipline)
 
   /** q264's offset-bucket size: the smallest power of two >= sqrt(n)
     * (floor PACK_BUCKET_MIN) — the srcbFor(n) discipline from round 9.
@@ -61,8 +61,8 @@ object Round11Ops {
     while (b.toDouble < math.sqrt(math.max(n, 1L).toDouble)) b *= 2
     b
   }
-  private val TOP2_THRESH = 150000L // 0.15: top-bigram coverage limit
-  private val DUP2_THRESH = 250000L // 0.25: duplicated-bigram coverage limit
+  private[ops] val TOP2_THRESH = 150000L // 0.15: top-bigram coverage limit
+  private[ops] val DUP2_THRESH = 250000L // 0.25: duplicated-bigram coverage limit
 
   /** Positional (non-distinct) per-token rolling-131 hashes — the
     * [[Dedup.sparkTokenHashes]] char fold WITHOUT the distinct, so

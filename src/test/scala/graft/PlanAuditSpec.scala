@@ -200,7 +200,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q273_heldout_tokenizer_fit", "q274_dedup_store_compaction",
     // q275/q276: pure keyed aggregates — the audit proves no window
     // or global sort sneaks in as the plans evolve
-    "q275_epoch_shuffle_audit", "q276_release_manifest")
+    "q275_epoch_shuffle_audit", "q276_release_manifest",
+    // round 12: q277's gram dedup is MIN+COUNT partial aggregation (no
+    // per-gram window at all); its island window stays PARTITIONED BY
+    // doc_id. q279's histogram cumsum stays keyed on source. q278 is
+    // deliberately absent: its per-source sketch rank is keyed but the
+    // union-merge is q272's tiny O(sources·k) coordinator window.
+    // q280 is deliberately absent: its dedup/selection windows are
+    // keyed (h, lang) but the quota largest-remainder window reads
+    // O(langs) rows and the pack window <= TMIX = 32 rows — both tiny
+    // by construction, not by corpus size.
+    "q277_exactsubstr_dedup", "q279_stream_dataset_card")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -390,7 +400,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // q275: the 32-row epoch-2/source tallies broadcast into the
       // shard join; q276: the 8-row manifest broadcasts into the
       // data-side verification join
-      "q275_epoch_shuffle_audit", "q276_release_manifest")
+      "q275_epoch_shuffle_audit", "q276_release_manifest",
+      // round 12: q278's exact referee counts broadcast into the
+      // artifact-served sketch rows; q279's O(sources) totals/uniq/
+      // percentile tables broadcast into the card join. q280 is
+      // deliberately absent: like q240/q263, its returned frame is
+      // assembled from the observation values AFTER the one action —
+      // the ring's broadcasts (bench shingles, quota table) live in
+      // the executed body, which the q280-dedicated spec reconciles
+      // stage-by-stage instead
+      "q278_persisted_kmv_serve", "q279_stream_dataset_card")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
