@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 governance pair built on q277's duplicated-gram machinery:
+  * the split assignment that can't leak, and the incremental
+  * maintenance of the gram store itself.
+  *
+  *  - q283 LEAKAGE-SAFE SPLIT: docs sharing any duplicated 20-token
+  *    gram are connected; whole CONNECTED COMPONENTS are assigned to
+  *    train/val by a hash of the component representative, so no
+  *    duplicated gram can span the split boundary — the construction
+  *    q238 only AUDITS. Reported next to the naive doc-hash split,
+  *    whose in-band leaked-gram count is the evidence the operator
+  *    matters.
+  *  - q284 INCREMENTAL EXACTSUBSTR: q277's duplicated-gram store
+  *    maintained as persisted state — base-slice gram aggregates
+  *    merged with the delta slice's in O(delta + state) (count sum,
+  *    first-occurrence min), then the full scrub served from the
+  *    MERGED store. The oracle is q277's full rebuild, so hash
+  *    equality proves merge == rebuild (q269's discipline at the
+  *    gram grain).
+  *
+  * Reference scope: PalNilsson/ask-duckdb has no splits, no state
+  * (ask.py:1-120); 100 TB training-data mandate.
+  */
+object Round12Extra {
+
+  private val POSMUL = 1048576L // q277's (doc_id, pos) key multiplier
+  private val VAL_BAND = 104858L // ~10% of 2^20: val admission band
+  private val BMULT = 2654435761L // Knuth, 2^32/phi
+  private val DELTA_MOD = 7 // q284 delta slice: doc_id % 7 == 3
+  private val DELTA_RES = 3
+
+  /** Duck CTEs shared by q283: q277's occ/gm front (positional
+    * 20-grams, duplicated grams with first-occurrence key).
+    */
+  private val duckOccGm: String = {
+    val W = Round12Ops.SPAN_W
+    s"""th AS MATERIALIZED (
+       |  SELECT doc_id, ${Round11Ops.duckPosTokenHashes} AS th,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
+       |  FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, u.pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      th[u.pos+1:u.pos+$W]),
+       |      (a, b) -> (a * 131 + b) % 1000000007) AS g
+       |  FROM th, LATERAL (SELECT unnest(generate_series(0,
+       |    len(th) - $W)) AS pos) u
+       |  WHERE len(th) >= $W),
+       |gm AS MATERIALIZED (
+       |  SELECT g, MIN(doc_id * $POSMUL + pos) AS fk
+       |  FROM occ GROUP BY g HAVING COUNT(*) >= 2)""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    // Governance: contamination-safe train/val split. Edges are the
+    // STAR edges of each duplicated gram (first doc <-> every other
+    // holder): connectivity-equivalent to the full clique at O(occ)
+    // size. Components label via the shared engine (single-task
+    // union-find behind a repartition(1) boundary for small edge sets,
+    // distributed contraction above — ComponentsSpec pins both);
+    // singleton docs are their own components. The component
+    // representative's Knuth hash assigns the WHOLE component, so the
+    // in-band leaked-gram count is 0 BY CONSTRUCTION for the component
+    // split, reported against the naive doc-hash split's count on the
+    // same corpus — the number that justifies running components
+    // before a split at all. The oracle recomputes components by
+    // recursive closure (q114's pattern, bounded by the duplicated-
+    // gram star graph).
+    Q(
+      "q283_leakage_safe_split",
+      s"""WITH RECURSIVE $duckOccGm,
+         |st AS (
+         |  SELECT DISTINCT gm.fk // $POSMUL AS a, o.doc_id AS b
+         |  FROM occ o JOIN gm ON gm.g = o.g
+         |  WHERE o.doc_id <> gm.fk // $POSMUL),
+         |edges AS (
+         |  SELECT a, b FROM st UNION SELECT b, a FROM st
+         |  UNION SELECT a, a FROM st UNION SELECT b, b FROM st),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach
+         |        GROUP BY a),
+         |asg AS MATERIALIZED (
+         |  SELECT t.doc_id, t.ntk, COALESCE(l.comp, t.doc_id) AS comp,
+         |    CASE WHEN ((COALESCE(l.comp, t.doc_id) % $POSMUL)
+         |      * $BMULT) % $POSMUL < $VAL_BAND
+         |      THEN 'val' ELSE 'train' END AS split,
+         |    CASE WHEN ((t.doc_id % $POSMUL) * $BMULT) % $POSMUL
+         |      < $VAL_BAND THEN 'val' ELSE 'train' END AS nsplit
+         |  FROM th t LEFT JOIN lab l ON l.doc_id = t.doc_id),
+         |leakc AS (
+         |  SELECT COUNT(*) AS c FROM (
+         |    SELECT o.g FROM occ o JOIN gm ON gm.g = o.g
+         |    JOIN asg a ON a.doc_id = o.doc_id
+         |    GROUP BY o.g HAVING COUNT(DISTINCT a.split) > 1)),
+         |leakn AS (
+         |  SELECT COUNT(*) AS c FROM (
+         |    SELECT o.g FROM occ o JOIN gm ON gm.g = o.g
+         |    JOIN asg a ON a.doc_id = o.doc_id
+         |    GROUP BY o.g HAVING COUNT(DISTINCT a.nsplit) > 1))
+         |SELECT 'component' AS method, split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ntk) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_comps,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST((SELECT c FROM leakc) AS BIGINT) AS n_leaked_grams
+         |FROM asg GROUP BY split
+         |UNION ALL
+         |SELECT 'naive', nsplit, COUNT(*), SUM(ntk),
+         |  COUNT(DISTINCT comp), SUM(doc_id),
+         |  (SELECT c FROM leakn)
+         |FROM asg GROUP BY nsplit
+         |ORDER BY method, split""".stripMargin) { (s, dir) =>
+      val d = Round12Ops.spanDocs(s, dir)
+        .select(col("doc_id"), col("th"),
+          size(col("toks")).cast("bigint").as("ntk"))
+      val occ = Round12Ops.gramOcc(d)
+      val gm = occ.groupBy(col("g"))
+        .agg(count(lit(1)).as("c"),
+          min(col("doc_id") * POSMUL + col("pos")).as("fk"))
+        .filter(col("c") >= 2)
+        .select(col("g"), col("fk"))
+      val st = occ.join(gm, "g")
+        .select((col("fk") / POSMUL).cast("long").as("a"),
+          col("doc_id").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val lab = Components.label(s, st.select(col("a"), col("b")))
+        .withColumnRenamed("component", "comp")
+      val asg = d.select(col("doc_id"), col("ntk"))
+        .join(lab, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        .withColumn("split",
+          when(((col("comp") % POSMUL) * BMULT) % POSMUL < VAL_BAND,
+            "val").otherwise("train"))
+        .withColumn("nsplit",
+          when(((col("doc_id") % POSMUL) * BMULT) % POSMUL < VAL_BAND,
+            "val").otherwise("train"))
+        .localCheckpoint(true) // consumed by 2 reports + 2 leak counts
+      def leak(splitCol: String) = occ.join(gm, "g")
+        .join(asg.select(col("doc_id"), col(splitCol).as("sp")),
+          "doc_id")
+        .groupBy(col("g"))
+        .agg(countDistinct(col("sp")).as("nsp"))
+        .filter(col("nsp") > 1)
+        .agg(count(lit(1)).cast("bigint").as("c"))
+      def report(method: String, splitCol: String,
+          leakFrame: org.apache.spark.sql.DataFrame) =
+        asg.groupBy(col(splitCol).as("split"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("ntk")).cast("bigint").as("n_tokens"),
+            countDistinct(col("comp")).cast("bigint").as("n_comps"),
+            sum(col("doc_id")).cast("bigint").as("id_sum"))
+          .crossJoin(broadcast(leakFrame
+            .withColumnRenamed("c", "n_leaked_grams")))
+          .withColumn("method", lit(method))
+      report("component", "split", leak("split"))
+        .unionByName(report("naive", "nsplit", leak("nsplit")))
+        .select(col("method"), col("split"), col("n_docs"),
+          col("n_tokens"), col("n_comps"), col("id_sum"),
+          col("n_leaked_grams"))
+        .orderBy(col("method"), col("split"))
+    },
+
+    // E6/state: incremental ExactSubstr. The gram store holds EVERY
+    // gram's (count, first-occurrence key) — cnt = 1 rows included,
+    // because a later delta can promote them to duplicated (the store
+    // is the distributed suffix-gram index; at 100 TB it lives
+    // fingerprint-bucketed like q274's). The delta merge is a
+    // full-outer key join: cnt sums, fk mins — O(delta + state), the
+    // base DOCUMENTS are never rescanned. The scrub itself is then
+    // served through the SAME scrubReport kernel as q277 from the
+    // merged store's duplicated rows, and the oracle is q277's full
+    // rebuild: hash equality proves merge == rebuild.
+    Q(
+      "q284_exactsubstr_incremental",
+      Round12Ops.exactSubstrOracleSql) { (s, dir) =>
+      val d = Round12Ops.spanDocs(s, dir)
+      val occ = Round12Ops.gramOcc(d)
+      val key = col("doc_id") * POSMUL + col("pos")
+      // historical store from the base slice (persisted scratch)
+      val storeDir = Round6Ops.scratchDir(
+        s"graft_gramstore_${VecIndex.dirDigest(dir)}")
+      occ.filter(col("doc_id") % DELTA_MOD =!= DELTA_RES)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), min(key).as("fk"))
+        .write.mode("overwrite").parquet(storeDir)
+      // the O(delta + state) merge
+      val deltaAgg = occ.filter(col("doc_id") % DELTA_MOD === DELTA_RES)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("dcnt"), min(key).as("dfk"))
+      val merged = s.read.parquet(storeDir)
+        .join(deltaAgg, Seq("g"), "full_outer")
+        .select(col("g"),
+          (coalesce(col("cnt"), lit(0L)) +
+            coalesce(col("dcnt"), lit(0L))).as("cnt"),
+          least(coalesce(col("fk"), col("dfk")),
+            coalesce(col("dfk"), col("fk"))).as("fk"))
+      val gm = merged.filter(col("cnt") >= 2)
+        .select(col("g"), col("fk"))
+      Round12Ops.scrubReport(d, occ, gm)
+    })
+}

@@ -41,6 +41,111 @@ object Round12Ops {
       s"i -> aggregate(slice($th, i + 1, $w), CAST(0 AS BIGINT), " +
       s"(a, b) -> (a * 131 + b) % $M))"
 
+  /** Docs with toks + positional token hashes (q277/q284's front). */
+  private[ops] def spanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+
+  /** Every W-gram occurrence (doc_id, pos, g) of the corpus. */
+  private[ops] def gramOcc(d: DataFrame): DataFrame =
+    d.filter(size(col("th")) >= SPAN_W)
+      .select(col("doc_id"),
+        posexplode(expr(sparkPosGrams(SPAN_W))).as(Seq("pos", "g")))
+
+  /** The ExactSubstr scrub report from a duplicated-gram frame
+    * `gm = (g, fk)` (fk = corpus-first occurrence key) over the
+    * occurrence frame — shared by the batch (q277) and incremental
+    * (q284) paths so a drift between them is impossible by
+    * construction.
+    */
+  private[ops] def scrubReport(d: DataFrame, occ: DataFrame,
+      gm: DataFrame): DataFrame = {
+    val rem = occ.join(gm, "g")
+      .filter(col("doc_id") * POSMUL + col("pos") =!= col("fk"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SPAN_W - 1})")).as("p"))
+      .distinct()
+    val isl = rem
+      .withColumn("grp", col("p") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("grp")).cast("bigint").as("n_spans"))
+    val aff = rem.select(col("doc_id")).distinct()
+    val tkd = d.select(col("doc_id"), col("toks")).join(aff, "doc_id")
+    val reb = tkd
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(rem.withColumnRenamed("p", "pos"),
+        Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok))").as("nt"))
+    tkd.select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_before"))
+      .join(isl, "doc_id")
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_kept"), lit(0L)))
+          .cast("bigint").as("n_removed"),
+        col("n_spans"), md5(coalesce(col("nt"), lit(""))).as("new_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The full-rebuild ExactSubstr oracle — q277's gate SQL, reused
+    * verbatim by q284 so hash equality proves its state merge ==
+    * rebuild.
+    */
+  private[ops] val exactSubstrOracleSql: String =
+    s"""WITH th AS MATERIALIZED (
+       |  SELECT doc_id, ${Round11Ops.duckPosTokenHashes} AS th,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, u.pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      th[u.pos+1:u.pos+$SPAN_W]),
+       |      (a, b) -> (a * 131 + b) % $M) AS g
+       |  FROM th, LATERAL (SELECT unnest(generate_series(0,
+       |    len(th) - $SPAN_W)) AS pos) u
+       |  WHERE len(th) >= $SPAN_W),
+       |gm AS MATERIALIZED (
+       |  SELECT g, MIN(doc_id * $POSMUL + pos) AS fk
+       |  FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+       |rem AS MATERIALIZED (
+       |  SELECT DISTINCT o.doc_id, v.p
+       |  FROM occ o JOIN gm ON gm.g = o.g,
+       |    LATERAL (SELECT unnest(generate_series(o.pos,
+       |      o.pos + ${SPAN_W - 1})) AS p) v
+       |  WHERE o.doc_id * $POSMUL + o.pos <> gm.fk),
+       |isl AS (
+       |  SELECT doc_id, CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p, p - ROW_NUMBER() OVER (
+       |          PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM rem)
+       |  GROUP BY doc_id),
+       |kept AS (
+       |  SELECT t.doc_id, u.i - 1 AS pos, t.toks[u.i] AS tok
+       |  FROM th t, LATERAL (SELECT unnest(generate_series(1,
+       |    len(t.toks))) AS i) u
+       |  WHERE t.doc_id IN (SELECT doc_id FROM rem)),
+       |reb AS (
+       |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(k.tok, ' ' ORDER BY k.pos) AS nt
+       |  FROM kept k LEFT JOIN rem r
+       |    ON r.doc_id = k.doc_id AND r.p = k.pos
+       |  WHERE r.doc_id IS NULL
+       |  GROUP BY k.doc_id)
+       |SELECT i.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+       |  CAST(len(t.toks) AS BIGINT) - COALESCE(r.n_kept, 0)
+       |    AS n_removed,
+       |  i.n_spans, md5(COALESCE(r.nt, '')) AS new_md5
+       |FROM isl i
+       |JOIN th t ON t.doc_id = i.doc_id
+       |LEFT JOIN reb r ON r.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // E6: ExactSubstr dedup. Suffix-array SEMANTICS distributed: a
     // duplicated substring of length >= W contains a duplicated W-gram
@@ -61,59 +166,9 @@ object Round12Ops {
     // the oracle must reproduce the exact bytes, not just counts.
     Q(
       "q277_exactsubstr_dedup",
-      s"""WITH th AS MATERIALIZED (
-         |  SELECT doc_id, ${Round11Ops.duckPosTokenHashes} AS th,
-         |    string_split(text, ' ') AS toks
-         |  FROM documents),
-         |occ AS MATERIALIZED (
-         |  SELECT doc_id, u.pos,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      th[u.pos+1:u.pos+$SPAN_W]),
-         |      (a, b) -> (a * 131 + b) % $M) AS g
-         |  FROM th, LATERAL (SELECT unnest(generate_series(0,
-         |    len(th) - $SPAN_W)) AS pos) u
-         |  WHERE len(th) >= $SPAN_W),
-         |gm AS MATERIALIZED (
-         |  SELECT g, MIN(doc_id * $POSMUL + pos) AS fk
-         |  FROM occ GROUP BY g HAVING COUNT(*) >= 2),
-         |rem AS MATERIALIZED (
-         |  SELECT DISTINCT o.doc_id, v.p
-         |  FROM occ o JOIN gm ON gm.g = o.g,
-         |    LATERAL (SELECT unnest(generate_series(o.pos,
-         |      o.pos + ${SPAN_W - 1})) AS p) v
-         |  WHERE o.doc_id * $POSMUL + o.pos <> gm.fk),
-         |isl AS (
-         |  SELECT doc_id, CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
-         |  FROM (SELECT doc_id, p, p - ROW_NUMBER() OVER (
-         |          PARTITION BY doc_id ORDER BY p) AS grp
-         |        FROM rem)
-         |  GROUP BY doc_id),
-         |kept AS (
-         |  SELECT t.doc_id, u.i - 1 AS pos, t.toks[u.i] AS tok
-         |  FROM th t, LATERAL (SELECT unnest(generate_series(1,
-         |    len(t.toks))) AS i) u
-         |  WHERE t.doc_id IN (SELECT doc_id FROM rem)),
-         |reb AS (
-         |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |    string_agg(k.tok, ' ' ORDER BY k.pos) AS nt
-         |  FROM kept k LEFT JOIN rem r
-         |    ON r.doc_id = k.doc_id AND r.p = k.pos
-         |  WHERE r.doc_id IS NULL
-         |  GROUP BY k.doc_id)
-         |SELECT i.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
-         |  CAST(len(t.toks) AS BIGINT) - COALESCE(r.n_kept, 0)
-         |    AS n_removed,
-         |  i.n_spans, md5(COALESCE(r.nt, '')) AS new_md5
-         |FROM isl i
-         |JOIN th t ON t.doc_id = i.doc_id
-         |LEFT JOIN reb r ON r.doc_id = i.doc_id
-         |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
-      val d = Tables.table(s, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
-      val occ = d.filter(size(col("th")) >= SPAN_W)
-        .select(col("doc_id"),
-          posexplode(expr(sparkPosGrams(SPAN_W))).as(Seq("pos", "g")))
+      exactSubstrOracleSql) { (s, dir) =>
+      val d = spanDocs(s, dir)
+      val occ = gramOcc(d)
       // duplicated grams with their corpus-first occurrence: MIN+COUNT
       // partial-aggregates (map-side combine), never a per-gram window
       val gm = occ.groupBy(col("g"))
@@ -121,36 +176,7 @@ object Round12Ops {
           min(col("doc_id") * POSMUL + col("pos")).as("fk"))
         .filter(col("c") >= 2)
         .select(col("g"), col("fk"))
-      val rem = occ.join(gm, "g")
-        .filter(col("doc_id") * POSMUL + col("pos") =!= col("fk"))
-        .select(col("doc_id"),
-          explode(expr(s"sequence(pos, pos + ${SPAN_W - 1})")).as("p"))
-        .distinct()
-      val isl = rem
-        .withColumn("grp", col("p") - row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("grp")).cast("bigint").as("n_spans"))
-      val aff = rem.select(col("doc_id")).distinct()
-      val tkd = d.select(col("doc_id"), col("toks")).join(aff, "doc_id")
-      val reb = tkd
-        .select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos", "tok")))
-        .join(rem.withColumnRenamed("p", "pos"),
-          Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          expr("concat_ws(' ', transform(array_sort(" +
-            "collect_list(struct(pos, tok))), x -> x.tok))").as("nt"))
-      tkd.select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_before"))
-        .join(isl, "doc_id")
-        .join(reb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_before"),
-          (col("n_before") - coalesce(col("n_kept"), lit(0L)))
-            .cast("bigint").as("n_removed"),
-          col("n_spans"), md5(coalesce(col("nt"), lit(""))).as("new_md5"))
-        .orderBy(col("doc_id"))
+      scrubReport(d, occ, gm)
     },
 
     // E4/serving: the PERSISTED KMV sketch lifecycle. Session 1 builds

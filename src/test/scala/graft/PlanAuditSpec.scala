@@ -210,7 +210,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // keyed (h, lang) but the quota largest-remainder window reads
     // O(langs) rows and the pack window <= TMIX = 32 rows — both tiny
     // by construction, not by corpus size.
-    "q277_exactsubstr_dedup", "q279_stream_dataset_card")
+    "q277_exactsubstr_dedup", "q279_stream_dataset_card",
+    // q282 has no window at all (broadcast-assign + keyed aggregates);
+    // q283's island-free main path is keyed aggregates over the star
+    // edges (Components' internals are pinned by ComponentsSpec);
+    // q284 rides q277's doc_id-keyed island window. q281 is
+    // deliberately absent: its cumsum windows read the 32-row shard
+    // frame — tiny by construction, not by corpus size.
+    "q282_embedding_outlier_qc", "q283_leakage_safe_split",
+    "q284_exactsubstr_incremental")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -409,7 +417,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // the ring's broadcasts (bench shingles, quota table) live in
       // the executed body, which the q280-dedicated spec reconciles
       // stage-by-stage instead
-      "q278_persisted_kmv_serve", "q279_stream_dataset_card")
+      "q278_persisted_kmv_serve", "q279_stream_dataset_card",
+      // q281: the one-row total and the 32-row receiver frame ride
+      // broadcasts into the interval-overlap join; q282: the codebook
+      // assign and the O(k) stats/outlier tables broadcast into the
+      // spine join; q283: the one-row leak counts broadcast into the
+      // split reports. q284 is deliberately absent: its only joins are
+      // gram-keyed shuffles (the store merge must shuffle — the store
+      // is corpus-sized state, never broadcastable).
+      "q281_shard_rebalance_plan", "q282_embedding_outlier_qc",
+      "q283_leakage_safe_split")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
