@@ -68,7 +68,8 @@ class Round10Spec extends AnyFunSuite {
     assume(available)
     val out1 = run("q254_backfill_resume").collect()
     val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_backfill")
+      sys.props("java.io.tmpdir"),
+      s"graft_backfill_${VecIndex.dirDigest(dir)}")
     val mf = java.nio.file.Files.readString(root.resolve("manifest.json"))
     val mf1 = java.nio.file.Files.readString(
       root.resolve("manifest_pass1.json"))
