@@ -106,6 +106,101 @@ object Round11Ops {
     s"list_transform(range(len($th) - 1), " +
       s"i -> ($th[i+1] * 131 + $th[i+2]) % $M)"
 
+  /** `d`+`c` CTEs: per-doc token counts with the global concat-stream
+    * running offset `st` — the shared front of the q264/q287 oracles
+    * (one kernel: a packing-rule change cannot desync the two gates).
+    */
+  private[ops] val duckPackCte: String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, ntk,
+       |    CAST(COALESCE(SUM(ntk + 1) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS st
+       |  FROM d)""".stripMargin
+
+  /** The packed-stream offset frame (doc_id, ntk, rec, st): every doc's
+    * token count, record size (ntk + 1 EOS) and global running start
+    * offset in doc_id order — q264's two-phase cumsum (per-bucket
+    * partials + ~sqrt(n) offset frame), shared with q287's boundary
+    * audit so both gates pack identically by construction.
+    */
+  private[ops] def packedOffsets(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
+    val bucket = packBucketFor(n)
+    val d = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"doc_id div $bucket").as("bkt"),
+        size(split(col("text"), " ")).cast("bigint").as("ntk"))
+      .withColumn("rec", col("ntk") + 1)
+    // phase 1: per-bucket record totals; phase 2: running offsets over
+    // the ~sqrt(n)-row bucket frame (fine single-partition); phase 3:
+    // within-bucket prefix sums, partitioned by bucket.
+    val boff = d.groupBy(col("bkt"))
+      .agg(sum(col("rec")).as("btot"))
+      .withColumn("off",
+        coalesce(sum(col("btot")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wb = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // broadcast only under a derived bound: the frame has ceil(n /
+    // bucket) <= sqrt(n) rows, small until n ~ 7e10 docs; beyond that
+    // the equi-join shuffles like any other keyed join.
+    val boffSmall = n / bucket <= (1L << 18)
+    d.join(if (boffSmall) broadcast(boff) else boff, "bkt")
+      .withColumn("st",
+        col("off") + coalesce(sum(col("rec")).over(wb), lit(0L)))
+      .select(col("doc_id"), col("ntk"), col("rec"), col("st"))
+  }
+
+  /** q266's full-recompute oracle — shared verbatim with the streaming
+    * decontamination gate (q288), whose hash equality against it proves
+    * the micro-batch fold == the static pass.
+    */
+  private[ops] lazy val decontamOracleSql: String =
+    s"""WITH $duckThCte,
+       |bthr AS (
+       |  SELECT LEAST($BMOD, ($BMOD * $BENCH_N
+       |    + GREATEST(CAST(COUNT(*) AS BIGINT), 1) - 1)
+       |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1)) AS t
+       |  FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, source, ${duckShingles(DECON_W)} AS sg
+       |  FROM th WHERE len(th) >= $DECON_W),
+       |bg AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(sg) AS g FROM sh
+       |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
+       |    < (SELECT t FROM bthr)),
+       |tr AS MATERIALIZED (
+       |  SELECT doc_id, source, sg FROM sh
+       |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
+       |    >= (SELECT t FROM bthr)),
+       |contam AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id, t.source
+       |  FROM (SELECT doc_id, source, unnest(sg) AS g FROM tr) t
+       |  JOIN bg b ON t.g = b.g),
+       |persrc AS (
+       |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
+       |    CAST(COUNT(c.doc_id) AS BIGINT) AS n_contam,
+       |    CAST(COALESCE(SUM(c.doc_id), 0) AS BIGINT) AS contam_id_sum
+       |  FROM tr t LEFT JOIN contam c ON c.doc_id = t.doc_id
+       |  GROUP BY t.source),
+       |tot AS (
+       |  SELECT '*' AS source, CAST(SUM(n_train) AS BIGINT) AS n_train,
+       |    CAST(SUM(n_contam) AS BIGINT) AS n_contam,
+       |    CAST(SUM(contam_id_sum) AS BIGINT) AS contam_id_sum
+       |  FROM persrc)
+       |SELECT source, n_train, n_contam,
+       |  CAST((1000000 * n_contam) // n_train AS BIGINT) AS contam6,
+       |  contam_id_sum
+       |FROM (SELECT * FROM persrc UNION ALL SELECT * FROM tot)
+       |ORDER BY source""".stripMargin
+
   /** `th` CTE: per-doc positional token hashes (the shared front half of
     * the q265/q266 oracles).
     */
@@ -123,11 +218,11 @@ object Round11Ops {
     * min-hashes degenerate on this template-heavy corpus: 388 of 500
     * docs share the full 8-slot signature at sf0.01).
     */
-  private def sparkMh(sg: String): String =
+  private[ops] def sparkMh(sg: String): String =
     "transform(sequence(0, 7), i -> " +
       s"array_min(transform($sg, h -> ((2*i + 1) * h + 7919 * i) % $M)))"
 
-  private def duckMh(sg: String): String =
+  private[ops] def duckMh(sg: String): String =
     "list_transform(range(8), i -> " +
       s"list_min(list_transform($sg, h -> ((2*i + 1) * h + 7919 * i) % $M)))"
 
@@ -147,16 +242,7 @@ object Round11Ops {
     // bucketing — so the oracle needs no mirror of it.
     Q(
       "q264_concat_split_packing",
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
-         |  FROM documents),
-         |c AS MATERIALIZED (
-         |  SELECT doc_id, ntk,
-         |    CAST(COALESCE(SUM(ntk + 1) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS st
-         |  FROM d),
+      s"""WITH $duckPackCte,
          |spans AS (
          |  SELECT doc_id,
          |    unnest(generate_series(st // $SEQ_LEN,
@@ -181,31 +267,7 @@ object Round11Ops {
          |UNION ALL SELECT 'n_docs', -1, n FROM tot
          |UNION ALL SELECT 'n_split_docs', -1, spl FROM tot
          |ORDER BY metric, k""".stripMargin) { (s, dir) =>
-      val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
-      val bucket = packBucketFor(n)
-      val d = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          expr(s"doc_id div $bucket").as("bkt"),
-          size(split(col("text"), " ")).cast("bigint").as("ntk"))
-        .withColumn("rec", col("ntk") + 1)
-      // phase 1: per-bucket record totals; phase 2: running offsets over
-      // the ~sqrt(n)-row bucket frame (fine single-partition); phase 3:
-      // within-bucket prefix sums, partitioned by bucket.
-      val boff = d.groupBy(col("bkt"))
-        .agg(sum(col("rec")).as("btot"))
-        .withColumn("off",
-          coalesce(sum(col("btot")).over(Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("off"))
-      val wb = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // broadcast only under a derived bound: the frame has ceil(n /
-      // bucket) <= sqrt(n) rows, small until n ~ 7e10 docs; beyond that
-      // the equi-join shuffles like any other keyed join.
-      val boffSmall = n / bucket <= (1L << 18)
-      val c = d.join(if (boffSmall) broadcast(boff) else boff, "bkt")
-        .withColumn("st",
-          col("off") + coalesce(sum(col("rec")).over(wb), lit(0L)))
+      val c = packedOffsets(s, dir)
       val spans = c.select(col("doc_id"),
         explode(expr(s"sequence(st div $SEQ_LEN, " +
           s"(st + ntk - 1) div $SEQ_LEN)")).as("seq"))
@@ -398,43 +460,7 @@ object Round11Ops {
     // wider than the per-source tally.
     Q(
       "q266_benchmark_decontamination",
-      s"""WITH $duckThCte,
-         |bthr AS (
-         |  SELECT LEAST($BMOD, ($BMOD * $BENCH_N
-         |    + GREATEST(CAST(COUNT(*) AS BIGINT), 1) - 1)
-         |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1)) AS t
-         |  FROM documents),
-         |sh AS MATERIALIZED (
-         |  SELECT doc_id, source, ${duckShingles(DECON_W)} AS sg
-         |  FROM th WHERE len(th) >= $DECON_W),
-         |bg AS MATERIALIZED (
-         |  SELECT DISTINCT unnest(sg) AS g FROM sh
-         |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
-         |    < (SELECT t FROM bthr)),
-         |tr AS MATERIALIZED (
-         |  SELECT doc_id, source, sg FROM sh
-         |  WHERE ((doc_id % $BMOD) * $BMULT) % $BMOD
-         |    >= (SELECT t FROM bthr)),
-         |contam AS MATERIALIZED (
-         |  SELECT DISTINCT t.doc_id, t.source
-         |  FROM (SELECT doc_id, source, unnest(sg) AS g FROM tr) t
-         |  JOIN bg b ON t.g = b.g),
-         |persrc AS (
-         |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
-         |    CAST(COUNT(c.doc_id) AS BIGINT) AS n_contam,
-         |    CAST(COALESCE(SUM(c.doc_id), 0) AS BIGINT) AS contam_id_sum
-         |  FROM tr t LEFT JOIN contam c ON c.doc_id = t.doc_id
-         |  GROUP BY t.source),
-         |tot AS (
-         |  SELECT '*' AS source, CAST(SUM(n_train) AS BIGINT) AS n_train,
-         |    CAST(SUM(n_contam) AS BIGINT) AS n_contam,
-         |    CAST(SUM(contam_id_sum) AS BIGINT) AS contam_id_sum
-         |  FROM persrc)
-         |SELECT source, n_train, n_contam,
-         |  CAST((1000000 * n_contam) // n_train AS BIGINT) AS contam6,
-         |  contam_id_sum
-         |FROM (SELECT * FROM persrc UNION ALL SELECT * FROM tot)
-         |ORDER BY source""".stripMargin) { (s, dir) =>
+      decontamOracleSql) { (s, dir) =>
       val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
       val thr = math.min(BMOD, (BMOD * BENCH_N + n - 1) / n)
       val badm = ((col("doc_id") % BMOD) * BMULT) % BMOD

@@ -70,7 +70,7 @@ object Round12More {
     * these: a crash-replayed batch must see exactly the state the
     * original attempt saw.
     */
-  private def priorBatchDirs(root: String, batchId: Long): Seq[String] = {
+  private[ops] def priorBatchDirs(root: String, batchId: Long): Seq[String] = {
     val fs = new java.io.File(root).listFiles()
     if (fs == null) Seq.empty
     else fs.filter(f => f.isDirectory && f.getName.startsWith("b") &&

@@ -287,7 +287,7 @@ object Round12Ops {
     * added/removed/edited moves it (VecIndex.corpusMarker's discipline
     * on the text corpus).
     */
-  private def docsMarker(d: DataFrame): String = {
+  private[ops] def docsMarker(d: DataFrame): String = {
     val fold = "aggregate(transform(filter(split(md5(" +
       "concat_ws('|', doc_id, text)), ''), ch -> ch != ''), " +
       "ch -> CAST(ascii(ch) AS BIGINT)), 0L, " +

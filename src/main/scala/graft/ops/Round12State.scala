@@ -1,0 +1,361 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 stateful duals of the round's governance surface:
+  *
+  *  - q288 STREAMING DECONTAMINATION: q266's benchmark-decontamination
+  *    apply step run over a MICRO-BATCH document stream (q279's arrival
+  *    model, re-crawl redeliveries included) — the broadcast eval-
+  *    shingle set probes each arriving batch, flagged docs land in
+  *    batchId-keyed idempotent state, and the served report is FOLDED
+  *    FROM STATE ONLY. The oracle is q266's static full recompute
+  *    VERBATIM: hash equality proves fold-of-stream == one-pass batch.
+  *    This is the shape a crawl pipeline actually runs — eval suites
+  *    are fixed, documents arrive forever.
+  *  - q289 MINHASH BAND STORE: the near-dup dual of q284's exact-gram
+  *    store — per-band MinHash signature rows persisted as base-corpus
+  *    state, a delta wave joined against the STORE (never the corpus)
+  *    for its near-dup candidates, and the merged store serving the
+  *    full candidate/verified-pair report. Candidate generation is
+  *    df-BOUNDED per (band, key) bucket (q177's bounded-posting
+  *    discipline — the fix the round-11 verdict prescribed for q53's
+  *    superlinear bucket join), with the skipped-bucket count reported
+  *    IN BAND so the bound is auditable, and mirrored in the oracle.
+  *
+  * Reference scope: PalNilsson/ask-duckdb keeps no state and no
+  * signature store (ask.py:1-120); 100 TB training-data mandate.
+  */
+object Round12State {
+
+  private val M = 1000000007L
+  private val WAVES = 4
+  private[ops] val DFB = 64L // q289: max posting rows per (band, key)
+  private val DELTA_MOD = 7 // q289 delta slice: doc_id % 7 == 3
+  private val DELTA_RES = 3
+
+  // ---------------- q288: streaming decontamination ----------------
+
+  /** Write the 4 deterministic arrival waves of TRAIN docs (q266's
+    * Knuth-admission split): primary slice doc_id % 4 == w plus the
+    * doc_id % 7 == w re-crawl redelivery, carrying text (the stream
+    * side must shingle its own arrivals — that is the operator). One
+    * parquet file per wave, strictly increasing mtimes.
+    */
+  private def writeDeconWaves(
+      s: SparkSession, dir: String, src: String, thr: Long): Unit = {
+    val badm = ((col("doc_id") % Round11Ops.BMOD) * Round11Ops.BMULT) %
+      Round11Ops.BMOD
+    val train = Tables.table(s, dir, "documents")
+      .filter(badm >= thr)
+      .select(col("doc_id"), col("source"), col("text"))
+    (0 until WAVES).foreach { w =>
+      val stage = s"$src/_stage$w"
+      train.filter(col("doc_id") % WAVES === w)
+        .unionByName(train.filter(col("doc_id") % 7 === w))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(src, f"w$w%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
+          w * 60000L))
+      Round10More.rmTree(java.nio.file.Paths.get(stage))
+    }
+  }
+
+  /** Fold one arriving micro-batch: dedup against prior batches' seen
+    * state (redeliveries), then probe the broadcast eval-shingle set
+    * and write this batch's doc list + flagged list under its OWN
+    * b<id> subdirs (mode=overwrite — a crash-replayed batch rewrites
+    * the identical delta, q279's idempotence-by-layout).
+    */
+  private[ops] def foldDeconBatch(
+      s: SparkSession, root: String, bg: DataFrame, batch: DataFrame,
+      batchId: Long): Unit = {
+    val priorSeen = Round12More.priorBatchDirs(s"$root/seen", batchId)
+    val uniq = batch.dropDuplicates("doc_id")
+    val fresh0 =
+      if (priorSeen.isEmpty) uniq
+      else uniq.join(s.read.parquet(priorSeen: _*), Seq("doc_id"),
+        "left_anti")
+    val fresh = fresh0
+      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .localCheckpoint(true)
+    // seen tracks EVERY arrival (dedup state); docs/flag apply q266's
+    // shingle-eligibility filter (len >= DECON_W) so the fold's
+    // n_train is exactly the static pass's
+    fresh.select(col("doc_id"))
+      .write.mode("overwrite").parquet(f"$root/seen/b$batchId%04d")
+    val elig = fresh.filter(size(col("th")) >= Round11Ops.DECON_W)
+    elig.select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(f"$root/docs/b$batchId%04d")
+    elig
+      .select(col("doc_id"), col("source"),
+        explode(expr(Round11Ops.sparkShingles(Round11Ops.DECON_W)))
+          .as("g"))
+      .join(broadcast(bg), Seq("g"), "leftsemi")
+      .select(col("doc_id"), col("source")).distinct()
+      .write.mode("overwrite").parquet(f"$root/flag/b$batchId%04d")
+    fresh.unpersist()
+    ()
+  }
+
+  private val builtDecon = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** Run the decontamination stream for `dir` and return the state
+    * root — built once per (session, dir); replay idempotence is
+    * proven in the spec, which makes reuse safe.
+    */
+  private[ops] def buildDeconState(s: SparkSession, dir: String): String =
+    builtDecon
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => buildDeconStateFresh(s, dir))
+
+  private def buildDeconStateFresh(s: SparkSession, dir: String): String = {
+    val src = Round6Ops.scratchDir(
+      s"graft_deconwaves_${VecIndex.dirDigest(dir)}")
+    val root = Round6Ops.scratchDir(
+      s"graft_deconstate_${VecIndex.dirDigest(dir)}")
+    val n = math.max(Tables.table(s, dir, "documents").count(), 1L)
+    val thr = math.min(Round11Ops.BMOD,
+      (Round11Ops.BMOD * Round11Ops.BENCH_N + n - 1) / n)
+    val badm = ((col("doc_id") % Round11Ops.BMOD) * Round11Ops.BMULT) %
+      Round11Ops.BMOD
+    // the FIXED eval suite: computed once, pinned, broadcast per batch
+    val bg = Tables.table(s, dir, "documents")
+      .filter(badm < thr)
+      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .filter(size(col("th")) >= Round11Ops.DECON_W)
+      .select(explode(expr(
+        Round11Ops.sparkShingles(Round11Ops.DECON_W))).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    writeDeconWaves(s, dir, src, thr)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) foldDeconBatch(s, root, bg, batch, batchId)
+      }
+      .start()
+    Round6Ops.drainTo(q, s"$root/docs")
+    root
+  }
+
+  // ---------------- q289: the band-signature frames ----------------
+
+  /** (doc_id, sg): distinct 3-token shingle hashes (q265's signature
+    * front — unigram minhashes degenerate on this template corpus).
+    */
+  private def shingleFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"), expr(Round11Ops.sparkShingles(3)).as("sg"))
+
+  /** (doc_id, band, key): the b2r4 banding of the 8-slot MinHash
+    * signature (q265's curve picks b2r4 as the precision/recall knee
+    * for J >= 0.8 on this corpus).
+    */
+  private def bandRows(sg: DataFrame): DataFrame =
+    sg.select(col("doc_id"),
+        expr(Round11Ops.sparkMh("sg")).as("mh"))
+      .select(col("doc_id"), posexplode(array(
+        array_join(slice(col("mh"), 1, 4), "-"),
+        array_join(slice(col("mh"), 5, 4), "-"))).as(Seq("band", "key")))
+
+  val queries: Seq[Q] = Seq(
+    // E12×governance: streaming decontamination. Served from state
+    // only; oracle = q266's static recompute VERBATIM.
+    Q(
+      "q288_stream_decontamination",
+      Round11Ops.decontamOracleSql) { (s, dir) =>
+      val root = buildDeconState(s, dir)
+      val docsB = s.read.parquet(s"$root/docs/b*")
+      val flag = s.read.parquet(s"$root/flag/b*")
+      val persrc = docsB
+        .join(flag.select(col("doc_id"), lit(1L).as("hit")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_train"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_contam"),
+          coalesce(sum(when(col("hit").isNotNull, col("doc_id"))),
+            lit(0L)).cast("bigint").as("contam_id_sum"))
+      val tot = persrc.agg(
+        sum(col("n_train")).cast("bigint").as("n_train"),
+        sum(col("n_contam")).cast("bigint").as("n_contam"),
+        sum(col("contam_id_sum")).cast("bigint").as("contam_id_sum"))
+        .withColumn("source", lit("*"))
+      persrc.unionByName(tot)
+        .select(col("source"), col("n_train"), col("n_contam"),
+          expr("(1000000 * n_contam) div n_train").cast("bigint")
+            .as("contam6"), col("contam_id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // E6/state: the persisted MinHash band store. The base slice's
+    // band rows are written once; the delta wave's rows land in their
+    // own subdir (merge = read both — append-free, replay-safe); the
+    // report partitions the merged candidate set into base-only and
+    // delta-touching pairs, so scope rows reconcile exactly
+    // (base + delta == '*', spec-asserted). Every candidate bucket is
+    // df-capped at DFB rows — a pathological key contributes at most
+    // O(DFB²) pairs and is COUNTED (n_skipped), never silently
+    // dropped; verified pairs apply q265's exact shingle-Jaccard >= 0.8
+    // predicate to candidates only. At 100 TB: the store is the
+    // artifact, delta ingest joins O(delta) rows against it, and the
+    // full report is the periodic audit — all bucket-blocked.
+    Q(
+      "q289_minhash_band_store",
+      s"""WITH th AS MATERIALIZED (
+         |  SELECT doc_id, ${Round11Ops.duckPosTokenHashes} AS th
+         |  FROM documents),
+         |sg AS MATERIALIZED (
+         |  SELECT doc_id, ${Round11Ops.duckShingles(3)} AS sg,
+         |    CASE WHEN doc_id % $DELTA_MOD = $DELTA_RES THEN 1 ELSE 0
+         |    END AS isd
+         |  FROM th WHERE len(th) >= 3),
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, isd, ${Round11Ops.duckMh("sg")} AS mh FROM sg),
+         |rows_ AS MATERIALIZED (
+         |  SELECT doc_id, isd, u.j AS band,
+         |    array_to_string(mh[u.j * 4 + 1 : u.j * 4 + 4], '-') AS key
+         |  FROM mh, LATERAL (SELECT unnest(range(2)) AS j) u),
+         |bk AS MATERIALIZED (
+         |  SELECT band, key, COUNT(*) AS df FROM rows_
+         |  GROUP BY band, key),
+         |skp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_skipped FROM bk
+         |  WHERE df > $DFB),
+         |okr AS MATERIALIZED (
+         |  SELECT r.* FROM rows_ r JOIN bk
+         |    ON bk.band = r.band AND bk.key = r.key
+         |  WHERE bk.df <= $DFB),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    GREATEST(a.isd, b.isd) AS touchd
+         |  FROM okr a JOIN okr b
+         |    ON a.band = b.band AND a.key = b.key
+         |   AND a.doc_id < b.doc_id),
+         |ver AS MATERIALIZED (
+         |  SELECT c.da, c.db, c.touchd,
+         |    CASE WHEN 5 * len(list_intersect(x.sg, y.sg)) >=
+         |      4 * len(list_distinct(list_concat(x.sg, y.sg)))
+         |      THEN 1 ELSE 0 END AS dup
+         |  FROM cand c JOIN sg x ON x.doc_id = c.da
+         |    JOIN sg y ON y.doc_id = c.db),
+         |scoped AS (
+         |  SELECT 'base' AS scope,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sg WHERE isd = 0)
+         |      AS n_docs,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_ WHERE isd = 0)
+         |      AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |    CAST(COALESCE(SUM(dup), 0) AS BIGINT) AS n_dup
+         |  FROM ver WHERE touchd = 0
+         |  UNION ALL
+         |  SELECT 'delta',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sg WHERE isd = 1),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_ WHERE isd = 1),
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(dup), 0) AS BIGINT)
+         |  FROM ver WHERE touchd = 1
+         |  UNION ALL
+         |  SELECT '*',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sg),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_),
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(dup), 0) AS BIGINT)
+         |  FROM ver)
+         |SELECT scope, n_docs, n_rows, n_cand, n_dup,
+         |  (SELECT n_skipped FROM skp) AS n_skipped
+         |FROM scoped
+         |ORDER BY scope""".stripMargin) { (s, dir) =>
+      val store = Round6Ops.scratchDir(
+        s"graft_bandstore_${VecIndex.dirDigest(dir)}")
+      val sg = shingleFrame(s, dir).localCheckpoint(true)
+      val rows = bandRows(sg)
+      val isDelta = col("doc_id") % DELTA_MOD === DELTA_RES
+      rows.filter(!isDelta)
+        .write.mode("overwrite").parquet(s"$store/base")
+      rows.filter(isDelta)
+        .write.mode("overwrite").parquet(s"$store/delta")
+      // ---- serve: STORE READS ONLY for the signature rows ----
+      val base = s.read.parquet(s"$store/base")
+        .withColumn("isd", lit(0))
+      val delta = s.read.parquet(s"$store/delta")
+        .withColumn("isd", lit(1))
+      val merged = base.unionByName(delta)
+      val bk = merged.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("df"))
+      val skp = bk.filter(col("df") > DFB)
+        .agg(count(lit(1)).cast("bigint").as("n_skipped"))
+      val okr = merged.join(bk.filter(col("df") <= DFB)
+        .select(col("band"), col("key")), Seq("band", "key"), "leftsemi")
+      val cand = okr.as("a")
+        .join(okr.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          greatest(col("a.isd"), col("b.isd")).as("touchd"))
+        .distinct()
+      val ver = cand
+        .join(sg.select(col("doc_id").as("da"), col("sg").as("sg_a")),
+          Seq("da"))
+        .join(sg.select(col("doc_id").as("db"), col("sg").as("sg_b")),
+          Seq("db"))
+        .select(col("da"), col("db"), col("touchd"),
+          when(expr("5 * size(array_intersect(sg_a, sg_b)) >= " +
+            "4 * size(array_union(sg_a, sg_b))"), 1L).otherwise(0L)
+            .as("dup"))
+      val nd = sg.agg(
+        sum(when(col("doc_id") % DELTA_MOD === DELTA_RES, 0L)
+          .otherwise(1L)).cast("bigint").as("nb"),
+        sum(when(col("doc_id") % DELTA_MOD === DELTA_RES, 1L)
+          .otherwise(0L)).cast("bigint").as("ndl"))
+      val nr = merged.agg(
+        sum(when(col("isd") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("rb"),
+        sum(when(col("isd") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("rd"))
+      def scopeRow(name: String, touch: Option[Int]) = {
+        val v = touch.map(t => ver.filter(col("touchd") === t))
+          .getOrElse(ver)
+        v.agg(count(lit(1)).cast("bigint").as("n_cand"),
+            coalesce(sum(col("dup")), lit(0L)).cast("bigint").as("n_dup"))
+          .withColumn("scope", lit(name))
+      }
+      scopeRow("base", Some(0))
+        .unionByName(scopeRow("delta", Some(1)))
+        .unionByName(scopeRow("*", None))
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(nr))
+        .crossJoin(broadcast(skp))
+        .select(col("scope"),
+          when(col("scope") === "base", col("nb"))
+            .when(col("scope") === "delta", col("ndl"))
+            .otherwise(col("nb") + col("ndl")).cast("bigint")
+            .as("n_docs"),
+          when(col("scope") === "base", col("rb"))
+            .when(col("scope") === "delta", col("rd"))
+            .otherwise(col("rb") + col("rd")).cast("bigint")
+            .as("n_rows"),
+          col("n_cand"), col("n_dup"), col("n_skipped"))
+        .orderBy(col("scope"))
+    })
+}

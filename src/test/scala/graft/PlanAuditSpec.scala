@@ -218,7 +218,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // deliberately absent: its cumsum windows read the 32-row shard
     // frame — tiny by construction, not by corpus size.
     "q282_embedding_outlier_qc", "q283_leakage_safe_split",
-    "q284_exactsubstr_incremental")
+    "q284_exactsubstr_incremental",
+    // q285: the store build and serve are hash aggregates + a
+    // TakeOrdered top-k; the only global sort orders the QN=16 output
+    // rows. q286 is deliberately absent: its largest-remainder windows
+    // read the O(strata) lang frame — tiny by construction (q281's
+    // rationale). q287 is deliberately absent: it rides packedOffsets'
+    // ~sqrt(n) bucket-offset window, which the dedicated q264 test
+    // below pins; everything above it is seq-keyed aggregation.
+    "q285_ngram_lm_serve",
+    // q288's served fold is keyed aggregates over the batch state;
+    // q289's served report is (band, key)-keyed joins + aggregates —
+    // neither may grow a corpus-wide window as the plans evolve
+    "q288_stream_decontamination", "q289_minhash_band_store")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -426,7 +438,19 @@ class PlanAuditSpec extends AnyFunSuite {
       // gram-keyed shuffles (the store merge must shuffle — the store
       // is corpus-sized state, never broadcastable).
       "q281_shard_rebalance_plan", "q282_embedding_outlier_qc",
-      "q283_leakage_safe_split")
+      "q283_leakage_safe_split",
+      // q285: the QN-row query batch broadcasts into the continuation-
+      // store read (leftsemi) and the per-gram stats join; q286: the
+      // one-row budget/excess totals broadcast into the strata frame;
+      // q287: packedOffsets' bucket-offset frame broadcasts under its
+      // derived bound (q264's shape)
+      "q285_ngram_lm_serve", "q286_epoch_mix_plan",
+      "q287_pack_boundary_audit",
+      // q289: the one-row doc/row/skip totals broadcast into the
+      // 3-row scope report. q288 is deliberately absent: its
+      // broadcast(bg) eval probe lives in the streaming fold body
+      // (q280's rationale) — the served plan is state aggregation.
+      "q289_minhash_band_store")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
