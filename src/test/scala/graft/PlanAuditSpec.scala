@@ -230,7 +230,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q288's served fold is keyed aggregates over the batch state;
     // q289's served report is (band, key)-keyed joins + aggregates —
     // neither may grow a corpus-wide window as the plans evolve
-    "q288_stream_decontamination", "q289_minhash_band_store")
+    "q288_stream_decontamination", "q289_minhash_band_store",
+    // q290: two dedup-winner semijoins + shard aggregates, no window
+    "q290_release_diff_audit")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -450,7 +452,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 3-row scope report. q288 is deliberately absent: its
       // broadcast(bg) eval probe lives in the streaming fold body
       // (q280's rationale) — the served plan is state aggregation.
-      "q289_minhash_band_store")
+      "q289_minhash_band_store",
+      // q290: both 32-row manifests broadcast into the shard spine
+      "q290_release_diff_audit")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

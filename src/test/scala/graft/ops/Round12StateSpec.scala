@@ -113,4 +113,30 @@ class Round12StateSpec extends AnyFunSuite {
         "store-served verified dups != q265's b2r4 true positives")
     }
   }
+
+  test("q290 diff is sparse and exactly explained: changed <=> delta " +
+    "rows present (dup-free corpus), untouched shards byte-identical, " +
+    "row deltas conserve") {
+    assume(available(dir), s"$dir absent — skipping")
+    val rows = run("q290_release_diff_audit").collect().map(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("base_rows"),
+        r.getAs[Long]("new_rows"), r.getAs[Long]("base_fp"),
+        r.getAs[Long]("new_fp"), r.getAs[Long]("changed"),
+        r.getAs[Long]("n_delta")))
+    assert(rows.length == 32)
+    rows.foreach { case (sh, br, nr, bf, nf, ch, nd) =>
+      // this corpus has no cross-slice exact dups, so no winner is
+      // displaced: a shard changes exactly when delta rows landed in it
+      assert((ch == 1L) == (nd > 0L),
+        s"shard $sh: changed=$ch but n_delta=$nd")
+      if (ch == 0L) assert(br == nr && bf == nf,
+        s"shard $sh: unchanged but manifests differ")
+      else assert(nr == br + nd,
+        s"shard $sh: new_rows != base_rows + n_delta")
+    }
+    val changed = rows.count(_._6 == 1L)
+    assert(changed > 0 && changed < 32,
+      s"diff is degenerate: $changed/32 shards changed")
+    assert(rows.map(_._3).sum == rows.map(_._2).sum + rows.map(_._7).sum)
+  }
 }
