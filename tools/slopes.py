@@ -23,7 +23,8 @@ FAMILIES = [
     ("scan/filter/project", ["q01", "q02", "q03", "q04", "q05", "q06", "q09",
                              "q68", "q69", "q88", "q90"]),
     ("aggregation", ["q07", "q08", "q21", "q22", "q23", "q24", "q25", "q26",
-                     "q85", "q86", "q112", "q124", "q151", "q164"]),
+                     "q85", "q86", "q112", "q124", "q151", "q164",
+                     "q272", "q278"]),
     ("joins", ["q10", "q11", "q12", "q13", "q14", "q15", "q16", "q64",
                "q65", "q66", "q67", "q107"]),
     ("tpch suite", ["q71", "q72", "q80", "q81", "q82", "q83", "q84", "q94",
@@ -35,11 +36,14 @@ FAMILIES = [
     ("dedup family", ["q43", "q44", "q45", "q46", "q47", "q48", "q49",
                       "q53", "q114", "q134", "q139", "q141", "q174",
                       "q193", "q200", "q204", "q206", "q208", "q209",
-                      "q238"]),
+                      "q238", "q256", "q258", "q262", "q265", "q268",
+                      "q274", "q277", "q283", "q284", "q289"]),
     ("similarity/ann", ["q50", "q51", "q52", "q59", "q74", "q75", "q140",
                         "q159", "q171", "q184", "q191", "q196", "q197",
                         "q202", "q207", "q211", "q215", "q217", "q219",
-                        "q220", "q221", "q222", "q224", "q248"]),
+                        "q220", "q221", "q222", "q224", "q248", "q249",
+                        "q250", "q251", "q257", "q259", "q260", "q270",
+                        "q271", "q282"]),
     ("ivf-pq lifecycle (ingest/delete/curves/stream)",
      ["q225", "q226", "q227", "q228", "q229", "q230", "q231", "q232"]),
     ("graph ann tier (build/serve/lifecycle/deploy)",
@@ -48,19 +52,23 @@ FAMILIES = [
     ("text/corpus analysis", ["q40", "q41", "q42", "q79", "q113", "q127",
                               "q130", "q138", "q143", "q144", "q156",
                               "q157", "q177", "q179", "q183", "q190", "q203",
-                              "q210", "q213", "q214", "q218"]),
+                              "q210", "q213", "q214", "q218", "q273",
+                              "q285"]),
     ("pipeline ops", ["q126", "q128", "q129", "q131", "q132", "q133",
                       "q145", "q146", "q147", "q148", "q149", "q150",
                       "q165", "q176", "q178", "q180", "q181", "q182",
                       "q185", "q186", "q192", "q195", "q201", "q205",
-                      "q216"]),
+                      "q216", "q252", "q253", "q254", "q255", "q261",
+                      "q264", "q266", "q267", "q269", "q275", "q276",
+                      "q280", "q281", "q286", "q287", "q290"]),
     ("behavioral/graph", ["q153", "q158", "q160", "q166", "q167", "q169",
                           "q170", "q187"]),
     ("lake maintenance", ["q109", "q135", "q136", "q152", "q155", "q162",
                           "q198", "q212"]),
     ("streaming (fixed-cost state machinery)",
      ["q55", "q56", "q57", "q91", "q92", "q108", "q115", "q116", "q117",
-      "q123", "q125", "q142", "q194", "q199", "q223"]),
+      "q123", "q125", "q142", "q194", "q199", "q223", "q263", "q279",
+      "q288"]),
     ("multimodal", ["q60", "q61", "q188", "q189"]),
 ]
 
