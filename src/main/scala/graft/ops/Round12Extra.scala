@@ -112,8 +112,9 @@ object Round12Extra {
          |  CAST((SELECT c FROM leakc) AS BIGINT) AS n_leaked_grams
          |FROM asg GROUP BY split
          |UNION ALL
-         |SELECT 'naive', nsplit, COUNT(*), SUM(ntk),
-         |  COUNT(DISTINCT comp), SUM(doc_id),
+         |SELECT 'naive', nsplit, COUNT(*),
+         |  CAST(SUM(ntk) AS BIGINT),
+         |  COUNT(DISTINCT comp), CAST(SUM(doc_id) AS BIGINT),
          |  (SELECT c FROM leakn)
          |FROM asg GROUP BY nsplit
          |ORDER BY method, split""".stripMargin) { (s, dir) =>

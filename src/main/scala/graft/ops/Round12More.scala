@@ -328,13 +328,13 @@ object Round12More {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(COALESCE(SUM(ntk), 0) AS BIGINT) AS n_tokens FROM d0
          |UNION ALL SELECT 1, 'decon_kept', COUNT(*),
-         |  COALESCE(SUM(ntk), 0) FROM s1
+         |  CAST(COALESCE(SUM(ntk), 0) AS BIGINT) FROM s1
          |UNION ALL SELECT 2, 'repetition_kept', COUNT(*),
-         |  COALESCE(SUM(ntk), 0) FROM s2
+         |  CAST(COALESCE(SUM(ntk), 0) AS BIGINT) FROM s2
          |UNION ALL SELECT 3, 'dedup_kept', COUNT(*),
-         |  COALESCE(SUM(ntk), 0) FROM s3
+         |  CAST(COALESCE(SUM(ntk), 0) AS BIGINT) FROM s3
          |UNION ALL SELECT 4, 'mix_selected', COUNT(*),
-         |  COALESCE(SUM(ntk), 0) FROM s4
+         |  CAST(COALESCE(SUM(ntk), 0) AS BIGINT) FROM s4
          |UNION ALL SELECT 5, 'packed_seqs',
          |  (t + ${Round11Ops.SEQ_LEN - 1}) // ${Round11Ops.SEQ_LEN}, t
          |FROM pk

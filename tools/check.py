@@ -6,8 +6,12 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over views named after the
 testdata tables in <sfDir>, and compares: row count, column names (sorted),
-and cell values (columns sorted by name, exact compare with a small float
-tolerance report). Exit 1 if any query mismatches.
+pandas dtypes per column (the driver's hash is TYPE-sensitive: a DuckDB
+HUGEINT renders as float64 while Spark's BIGINT renders int64, and
+`28109.0 == 28109` would pass a value-only gate the driver fails — §7.4
+trap 9), and cell values with exact Python types. Also DESCRIBEs every
+oracle SQL and fails outright on any HUGEINT/UHUGEINT result column (an
+uncast SUM over BIGINT). Exit 1 if any query mismatches.
 
 Driver-side tooling only — not part of the Scala library.
 """
@@ -85,6 +89,12 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+            if huge:
+                failures.append(
+                    (name, f"oracle HUGEINT column(s) {huge}: add CAST(... AS BIGINT)"))
+                continue
             duck_df = con.execute(oracle[name]).df()
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
@@ -94,6 +104,12 @@ def main():
         if sc != dc:
             failures.append((name, f"columns differ: spark={sc} duck={dc}"))
             continue
+        sdt = [str(spark_df[c].dtype) for c in sc]
+        ddt = [str(duck_df[c].dtype) for c in dc]
+        if sdt != ddt:
+            diffs = [(c, a, b) for c, a, b in zip(sc, sdt, ddt) if a != b]
+            failures.append((name, f"DTYPE differs (spark, duck): {diffs}"))
+            continue
         if len(srows) != len(drows):
             failures.append(
                 (name, f"row count differs: spark={len(srows)} duck={len(drows)}"))
@@ -102,9 +118,12 @@ def main():
         # (including float bits); cells_equal only classifies the miss.
         bad = None
         for i, (a, b) in enumerate(zip(srows, drows)):
-            if a != b:
-                near = all(cells_equal(x, y) for x, y in zip(a, b))
-                kind = "float-low-bits" if near else "VALUE"
+            if a != b or any(type(x) is not type(y) for x, y in zip(a, b)):
+                if any(type(x) is not type(y) for x, y in zip(a, b)):
+                    kind = "CELLTYPE"
+                else:
+                    near = all(cells_equal(x, y) for x, y in zip(a, b))
+                    kind = "float-low-bits" if near else "VALUE"
                 bad = (i, a, b, kind)
                 break
         if bad:

@@ -19,5 +19,6 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT $FAM" \
   echo "# trained-family sf0.1 oracle check ($(date -u +%Y-%m-%dT%H:%MZ))"
   echo "# sampling ACTIVE at sf0.1: n=2000, servingK=22, threshold"
   echo "# 64*22*2^20/2000 < 2^20 (vs saturated at sf0.01 for k=22)"
+  python3 tools/oracle_type_lint.py /root/testdata/sf0.1 "$OUT/oracle_sql.json" "$OUT"
   python3 tools/check.py /root/testdata/sf0.1 "$OUT"
 } | tee bench/trained_sf0.1_check.txt
