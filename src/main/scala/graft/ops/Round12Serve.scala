@@ -35,7 +35,16 @@ import graft.Tables
 object Round12Serve {
 
   private val M = 1000000007L
-  private val M1 = M + 1 // continuation argmax encoding base
+  // Continuation argmax encoding base: MAX(c * M1 + (M - nxt)) packs
+  // (count, tie-break) into one BIGINT so the argmax is a plain
+  // partial-aggregable MAX in both engines. BOUND: the product needs
+  // c < 2^63 / M1 ≈ 9.2e9 occurrences of a single context gram —
+  // beyond that Spark wraps silently while DuckDB errors on overflow
+  // (round-12 advice). A corpus approaching that per-gram count (only
+  // ~degenerate single-token contexts at web scale) must switch to a
+  // struct-max argmax: max(struct(c, M - nxt)) avoids the product at
+  // the cost of a non-codegen'd struct comparator.
+  private val M1 = M + 1
   private[ops] val CTX_W = 3 // q285 context length (tokens)
   private[ops] val QN = 16 // q285 query-batch size
   private[ops] val CAP_MILLI = 1750L // q286: repetition cap (1.75 epochs)
@@ -47,8 +56,13 @@ object Round12Serve {
 
   // ---------------- q285: persisted n-gram store ----------------
 
+  // dir -> (artifact root, content marker, docs file signature). The
+  // file signature re-validates on EVERY call (metadata-only, no
+  // scan), so an in-session rewrite of documents under `dir` forces
+  // the full marker re-check instead of serving a stale artifact
+  // (round-12 advice).
   private val builtNg =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[String, (String, String, String)]
   private[ops] var ngramBuilds = 0 // spec hook: counts actual builds
 
   /** Test hook: forget the in-JVM registry (simulates a new session —
@@ -81,10 +95,15 @@ object Round12Serve {
     */
   private[ops] def ngramArtifact(s: SparkSession, dir: String): String =
     builtNg.synchronized {
-      builtNg.getOrElseUpdate(dir, {
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_ngramlm_${VecIndex.dirDigest(dir)}").toString
-        val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val sig = VecIndex.tableFileSig(dir, "documents")
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ngramlm_${VecIndex.dirDigest(dir)}").toString
+      val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val hit = builtNg.get(dir).exists { case (_, expect, s0) =>
+        s0 == sig && java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == expect
+      }
+      if (!hit) {
         val docs = Tables.table(s, dir, "documents")
         val expect = Round12Ops.docsMarker(docs)
         val fresh = java.nio.file.Files.exists(marker) &&
@@ -102,8 +121,9 @@ object Round12Serve {
           java.nio.file.Files.writeString(marker, expect)
           ngramBuilds += 1
         }
-        p
-      })
+        builtNg(dir) = (p, expect, sig)
+      }
+      p
     }
 
   val queries: Seq[Q] = Seq(

@@ -30,7 +30,6 @@ import graft.Tables
   */
 object Round12State {
 
-  private val M = 1000000007L
   private val WAVES = 4
   private[ops] val DFB = 64L // q289: max posting rows per (band, key)
   private val DELTA_MOD = 7 // q289 delta slice: doc_id % 7 == 3
@@ -105,19 +104,42 @@ object Round12State {
     ()
   }
 
+  // session -> (dir -> (state root, docs file signature)). The file
+  // signature re-validates on every call, so an in-session rewrite of
+  // documents under `dir` rebuilds the stream state instead of serving
+  // stale (round-12 advice: buildDeconState had no content check).
   private val builtDecon = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]]())
+      java.util.concurrent.ConcurrentHashMap[String, (String, String)]]())
+
+  // JVM-GLOBAL build locks keyed by the dir digest: the scratch dirs
+  // under /tmp are shared across sessions, so two sessions in one JVM
+  // must never wipe-and-rebuild the same state concurrently (round-12
+  // advice). Serialized rebuild is wasteful but correct — the state is
+  // deterministic in the corpus.
+  private val deconLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Run the decontamination stream for `dir` and return the state
-    * root — built once per (session, dir); replay idempotence is
-    * proven in the spec, which makes reuse safe.
+    * root — built once per (session, dir) while the corpus under `dir`
+    * is unchanged; replay idempotence is proven in the spec, which
+    * makes reuse safe.
     */
-  private[ops] def buildDeconState(s: SparkSession, dir: String): String =
-    builtDecon
-      .computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
-      .computeIfAbsent(dir, _ => buildDeconStateFresh(s, dir))
+  private[ops] def buildDeconState(s: SparkSession, dir: String): String = {
+    val perSession = builtDecon.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        (String, String)]())
+    val sig = VecIndex.tableFileSig(dir, "documents")
+    val cur = perSession.get(dir)
+    if (cur != null && cur._2 == sig) cur._1
+    else {
+      val lock = deconLocks
+        .computeIfAbsent(VecIndex.dirDigest(dir), _ => new Object)
+      val root = lock.synchronized(buildDeconStateFresh(s, dir))
+      perSession.put(dir, (root, sig))
+      root
+    }
+  }
 
   private def buildDeconStateFresh(s: SparkSession, dir: String): String = {
     val src = Round6Ops.scratchDir(
@@ -158,6 +180,60 @@ object Round12State {
   }
 
   // ---------------- q289: the band-signature frames ----------------
+
+  // dir -> (store root, content marker, docs file signature): q289's
+  // persisted band store, built once per corpus (marker written LAST)
+  // and re-validated per call like ngramArtifact.
+  private val builtBand =
+    scala.collection.mutable.Map.empty[String, (String, String, String)]
+  private[ops] var bandBuilds = 0 // spec hook: counts actual builds
+
+  /** Test hook: forget the in-JVM registry (the on-disk store and
+    * marker survive — a "new session").
+    */
+  private[ops] def dropBandMemo(): Unit =
+    builtBand.synchronized { builtBand.clear() }
+
+  /** The persisted MinHash band STORE for `dir`: sg/ (per-doc distinct
+    * shingle arrays, the verification side), base/ and delta/ (the
+    * b2r4 band-signature rows of the base slice and the delta wave).
+    * Built ONCE per corpus behind a docsMarker written last; every
+    * q289 serve reads these files only. At 100 TB the store is the
+    * artifact a dedup service keeps warm; a delta ingest appends its
+    * band rows and the audit below reads the merged store.
+    */
+  private[ops] def bandStore(s: SparkSession, dir: String): String =
+    builtBand.synchronized {
+      val sig = VecIndex.tableFileSig(dir, "documents")
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_bandstore_${VecIndex.dirDigest(dir)}").toString
+      val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val hit = builtBand.get(dir).exists { case (_, expect, s0) =>
+        s0 == sig && java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == expect
+      }
+      if (!hit) {
+        val expect =
+          Round12Ops.docsMarker(Tables.table(s, dir, "documents"))
+        val fresh = java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == expect
+        if (!fresh) {
+          val sg = shingleFrame(s, dir).localCheckpoint(true)
+          sg.write.mode("overwrite").parquet(s"$p/sg")
+          val rows = bandRows(sg)
+          val isDelta = col("doc_id") % DELTA_MOD === DELTA_RES
+          rows.filter(!isDelta)
+            .write.mode("overwrite").parquet(s"$p/base")
+          rows.filter(isDelta)
+            .write.mode("overwrite").parquet(s"$p/delta")
+          sg.unpersist()
+          java.nio.file.Files.writeString(marker, expect)
+          bandBuilds += 1
+        }
+        builtBand(dir) = (p, expect, sig)
+      }
+      p
+    }
 
   /** (doc_id, sg): distinct 3-token shingle hashes (q265's signature
     * front — unigram minhashes degenerate on this template corpus).
@@ -209,18 +285,21 @@ object Round12State {
         .orderBy(col("source"))
     },
 
-    // E6/state: the persisted MinHash band store. The base slice's
-    // band rows are written once; the delta wave's rows land in their
-    // own subdir (merge = read both — append-free, replay-safe); the
-    // report partitions the merged candidate set into base-only and
-    // delta-touching pairs, so scope rows reconcile exactly
-    // (base + delta == '*', spec-asserted). Every candidate bucket is
+    // E6/state: the persisted MinHash band store. The store (shingle
+    // arrays + base and delta band-signature rows in their own
+    // subdirs) is a marker-gated artifact built ONCE per corpus;
+    // every serve below is STORE READS ONLY. What runs here is the
+    // periodic full AUDIT over the merged store — base-only pairs
+    // included by design — with delta-touching pairs classified by
+    // the stored slice flag, so scope rows reconcile exactly
+    // (base + delta == '*', spec-asserted). A pure delta ingest would
+    // join only the delta rows against the store's buckets (O(delta +
+    // touched buckets)); this gate reports the audit, which any
+    // ingest cadence periodically pays. Every candidate bucket is
     // df-capped at DFB rows — a pathological key contributes at most
     // O(DFB²) pairs and is COUNTED (n_skipped), never silently
     // dropped; verified pairs apply q265's exact shingle-Jaccard >= 0.8
-    // predicate to candidates only. At 100 TB: the store is the
-    // artifact, delta ingest joins O(delta) rows against it, and the
-    // full report is the periodic audit — all bucket-blocked.
+    // predicate to candidates only, against the STORED shingle arrays.
     Q(
       "q289_minhash_band_store",
       s"""WITH th AS MATERIALIZED (
@@ -286,16 +365,9 @@ object Round12State {
          |  (SELECT n_skipped FROM skp) AS n_skipped
          |FROM scoped
          |ORDER BY scope""".stripMargin) { (s, dir) =>
-      val store = Round6Ops.scratchDir(
-        s"graft_bandstore_${VecIndex.dirDigest(dir)}")
-      val sg = shingleFrame(s, dir).localCheckpoint(true)
-      val rows = bandRows(sg)
-      val isDelta = col("doc_id") % DELTA_MOD === DELTA_RES
-      rows.filter(!isDelta)
-        .write.mode("overwrite").parquet(s"$store/base")
-      rows.filter(isDelta)
-        .write.mode("overwrite").parquet(s"$store/delta")
-      // ---- serve: STORE READS ONLY for the signature rows ----
+      val store = bandStore(s, dir)
+      // ---- serve: STORE READS ONLY from here down ----
+      val sg = s.read.parquet(s"$store/sg")
       val base = s.read.parquet(s"$store/base")
         .withColumn("isd", lit(0))
       val delta = s.read.parquet(s"$store/delta")

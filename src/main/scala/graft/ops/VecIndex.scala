@@ -44,6 +44,24 @@ object VecIndex {
     d.take(8).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Cheap per-call corpus-change sentinel: (name, size, mtime) of the
+    * table's parquet file(s) — filesystem metadata only, no data scan.
+    * Artifact memos that validate their content marker only on first
+    * touch pair it with this: a rewrite of the table under `dir` in the
+    * same JVM changes the signature, forcing the full marker re-check
+    * (round-12 advice: in-session data change must not serve a stale
+    * artifact). Local-FS listing, like every scratch probe here — one
+    * Hadoop-FS wrapper when an artifact root moves off local disk.
+    */
+  private[ops] def tableFileSig(dir: String, table: String): String = {
+    val p = new java.io.File(dir, s"$table.parquet")
+    val fs =
+      if (p.isDirectory) p.listFiles().filter(_.isFile).sortBy(_.getName)
+      else Array(p)
+    fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+  }
+
   // (data dir, corpus tag) -> built-or-validated artifact root. Plain
   // map under the object lock: builds are rare, values are small
   // strings, and the deterministic path makes a lost entry merely a
