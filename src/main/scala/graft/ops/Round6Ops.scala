@@ -260,7 +260,11 @@ object Round6Ops {
     // engines run the identical IEEE ops); ADC scores q·centroid +
     // q·codeword in exact integer arithmetic. Search touches only the
     // NPROBE probed cells; in_exact referees against the global exact
-    // top-10 and n_cand records the probed-slice size.
+    // top-10 and n_cand records the probed-slice size. Served from the
+    // marker-gated residual artifacts (VecIndex.residArtifacts — the
+    // round-12 verdict's trim: steady-state runs time the search, the
+    // build is paid once per corpus), through the shared serveIvfPq
+    // kernel with the q·centroid term enabled.
     Q(
       "q220_residual_ivf_pq",
       s"""WITH ${KMeans.kkCte()},
@@ -312,76 +316,8 @@ object Round6Ops {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      val coarse = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-      val ccsSel = coarse.select(col("cid"), col("cs").as("ccs"))
-      // exact BIGINT residual to the assigned centroid; rd is its /1e6
-      // double bridge into the shared Lloyd trainer
-      val residFull = KMeans.assign(e, coarse)
-        .join(broadcast(ccsSel), Seq("cid"))
-        .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
-        .withColumn("rsv", expr("zip_with(sv, ccs, (a, b) -> a - b)"))
-        .select(col("vec_id"), col("cid"), col("sv"), col("rsv"),
-          expr("transform(rsv, v -> CAST(v AS DOUBLE) / 1000000.0D)")
-            .as("rd"))
-      val residTrain = residFull.select(col("vec_id"),
-        col("rd").as("embedding"))
-      // M per-subspace codebooks over the residuals, collapsed to one
-      // broadcast row (the q202 trainPq shape, on residual slices)
-      val pqCb = (0 until M).map { m =>
-        val sub = residTrain.select(col("vec_id"),
-          expr(s"slice(embedding, ${m * SUB + 1}, $SUB)").as("embedding"))
-        KMeans.codebook(s, sub, K, ITERS)
-          .select(lit(m).as("sub"), col("cid"), col("cs"))
-      }.reduce(_.unionByName(_))
-        .agg(expr("array_sort(collect_list(struct(sub, cid, cs)))")
-          .as("cbs"))
-      val wprobe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") === 0)
-        .crossJoin(broadcast(coarse))
-        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
-        .withColumn("rn", row_number().over(wprobe))
-        .filter(col("rn") <= NPROBE)
-        .select(col("cid"))
-      val q0 = e.filter(col("vec_id") === 0)
-        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      val cand = residFull.join(broadcast(probes), "cid")
-        .filter(col("vec_id") =!= 0)
-      // encode candidates against the broadcast residual codebooks and
-      // ADC-score: q·centroid (per probed cell) + q·codeword, all BIGINT
-      val base = cand
-        .crossJoin(broadcast(pqCb))
-        .crossJoin(broadcast(q0))
-        .join(broadcast(ccsSel), Seq("cid"))
-      val coded = (0 until M).foldLeft(base) { (df, m) =>
-        df.withColumn(s"c$m", expr(
-          s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
-            s"c -> struct(${Pq.intDot(s"slice(rsv, ${m * SUB + 1}, $SUB)",
-              "c.cs")} AS d, -c.cid AS nc))).nc"))
-      }
-      val adcSum = s"(${Pq.intDot("qs", "ccs")}) + " +
-        (0 until M).map { m =>
-          Pq.intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
-            s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), " +
-              "1).cs")
-        }.mkString("(", ") + (", ")")
-      val scored = coded
-        .withColumn("adc", expr(adcSum))
-        .withColumn("exact", expr(Pq.intDot("sv", "qs")))
-        .select(col("vec_id"), col("adc"), col("exact"))
-      val globalTop = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q0))
-        .select(col("vec_id"), expr(Pq.intDot(
-          KMeans.scaleExpr("embedding"), "qs")).as("d"))
-        .orderBy(col("d").desc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"), lit(1).as("hit"))
-      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
-      scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
-        .join(broadcast(globalTop), Seq("vec_id"), "left")
-        .crossJoin(broadcast(nc))
-        .select(col("vec_id"), col("adc"), col("exact"),
-          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
+      VecIndex.serveIvfPq(s, VecIndex.residArtifacts(s, dir, e), e,
+        NPROBE, residual = true)
     },
 
     // E7: SQ8 scalar-quantized search — each dim quantizes to an 8-bit
@@ -706,52 +642,11 @@ object Round6Ops {
          |LEFT JOIN tope t ON s.vec_id = t.vec_id, nc n
          |ORDER BY s.adc DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
-      // ---- BUILD: the persisted artifacts — memoized per dir, so the
-      // first execution builds and every later one (Bench's timed
-      // passes) measures SERVING alone, the deployment shape ----
-      val idx = VecIndex.artifacts(s, dir, "full", e)
-      // ---- SERVE: fresh reads of the artifacts, nothing else ----
-      val coarse = s.read.parquet(s"$idx/coarse")
-      val cbRow = s.read.parquet(s"$idx/pq")
-      val codes = VecIndex.readCodes(s, idx)
-      val wp = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") === 0)
-        .crossJoin(broadcast(coarse))
-        .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= NPROBE)
-        .select(col("cid"))
-      val q0 = e.filter(col("vec_id") === 0)
-        .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
-      val cand = codes.join(broadcast(probes), "cid")
-        .filter(col("vec_id") =!= 0)
-      val scored = cand
-        .crossJoin(broadcast(cbRow))
-        .crossJoin(broadcast(q0))
-        .withColumn("adc", expr(Pq.adcFromCodes))
-        .select(col("vec_id"), col("adc"))
-      val top = scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
-      // exact referee: the evaluation harness, not the serving path. The
-      // full scan feeds ONLY a 10-row top-k heap and a broadcast-of-10
-      // lookup — never an O(N) broadcast (round-6 advice)
-      val exactAll = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q0))
-        .select(col("vec_id"), expr(Pq.intDot(
-          KMeans.scaleExpr("embedding"), "qs")).as("exact"))
-      val globalTop = exactAll
-        .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"), lit(1).as("hit"))
-      val exactTop = exactAll
-        .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
-      val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
-      top
-        .join(broadcast(exactTop), Seq("vec_id"))
-        .join(broadcast(globalTop), Seq("vec_id"), "left")
-        .crossJoin(broadcast(nc))
-        .select(col("vec_id"), col("adc"), col("exact"),
-          coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
+      // BUILD once (memoized, marker-gated) then SERVE through the
+      // shared kernel — one implementation with q207/q220, so a probe
+      // or scoring change cannot desync the three gates.
+      VecIndex.serveIvfPq(s, VecIndex.artifacts(s, dir, "full", e), e,
+        NPROBE, residual = false)
     }
   )
 

@@ -146,6 +146,112 @@ object VecIndex {
       })
     }
 
+  /** Residual-IVF-PQ artifact root (q220's index): like [[artifacts]]
+    * but the M PQ codebooks are trained on the RESIDUAL to each
+    * vector's assigned coarse centroid (the production IVFADC shape —
+    * far lower-variance, so it quantizes better) and `codes` stores
+    * the residual codes. The residual bridge is exact: scaled vector
+    * minus centroid is a BIGINT; /1e6 feeds the shared Lloyd trainer,
+    * whose own 1e6-scaling recovers the exact integers (round-trip
+    * error ~1e-9, eight orders under the 0.5 rounding threshold).
+    */
+  private[ops] def residArtifacts(
+      s: SparkSession, dir: String, e: DataFrame): String =
+    built.synchronized {
+      built.getOrElseUpdate((dir, "resid"), {
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_vecidx_${VecIndex.dirDigest(dir)}_resid")
+          .toString
+        val marker = java.nio.file.Paths.get(p, "_meta.json")
+        val expect = corpusMarker(e, KMeans.servingK(e))
+        val fresh = java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == expect
+        if (!fresh) {
+          KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+            .write.mode("overwrite").parquet(s"$p/coarse")
+          val co = s.read.parquet(s"$p/coarse")
+          val rf = KMeans.assign(e, co)
+            .join(broadcast(co.select(col("cid"), col("cs").as("ccs"))),
+              Seq("cid"))
+            .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
+            .withColumn("rsv", expr("zip_with(sv, ccs, (a, b) -> a - b)"))
+            .select(col("vec_id"), col("cid"),
+              expr("transform(rsv, v -> CAST(v AS DOUBLE) / 1000000.0D)")
+                .as("embedding"))
+          Pq.trainPq(s, rf.select(col("vec_id"), col("embedding")))
+            .write.mode("overwrite").parquet(s"$p/pq")
+          Pq.pqEncode(rf, s.read.parquet(s"$p/pq"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$p/codes")
+          java.nio.file.Files.writeString(marker, expect)
+          builds += 1
+        }
+        p
+      })
+    }
+
+  /** The ARTIFACT-SERVED single-query IVF-PQ search (q207/q220/q224's
+    * shared serve kernel — one implementation, three gates, so a probe
+    * or scoring change cannot desync them): probe the query's `nprobe`
+    * coarse cells against the persisted coarse codebook, read ONLY the
+    * probed cells' code files (the codes artifact is partitioned by
+    * cid, so the broadcast probe join partition-prunes the scan), ADC-
+    * score the candidates from their stored codes — plus the exact
+    * q·centroid term when `residual` (IVFADC) — and referee the top-10
+    * against the global exact top-10. The raw-vector scans are the
+    * query row and the exact REFEREE only (a 10-row heap + broadcast-
+    * of-10 lookup — evaluation harness, not the serving path).
+    */
+  private[ops] def serveIvfPq(
+      s: SparkSession, root: String, e: DataFrame, nprobe: Int,
+      residual: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = s.read.parquet(s"$root/coarse")
+    val cbRow = s.read.parquet(s"$root/pq")
+    val codes = readCodes(s, root)
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("cid"))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(expr(KMeans.scaleExpr("embedding")).as("qs"))
+    val cand = codes.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= 0)
+    val base = cand
+      .crossJoin(broadcast(cbRow))
+      .crossJoin(broadcast(q0))
+    val scored =
+      (if (residual)
+        base.join(broadcast(coarse.select(col("cid"),
+            col("cs").as("ccs"))), Seq("cid"))
+          .withColumn("adc",
+            expr(Pq.intDot("qs", "ccs")) + expr(Pq.adcFromCodes))
+      else base.withColumn("adc", expr(Pq.adcFromCodes)))
+        .select(col("vec_id"), col("adc"))
+    val top = scored.orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+    val exactAll = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), expr(Pq.intDot(
+        KMeans.scaleExpr("embedding"), "qs")).as("exact"))
+    val globalTop = exactAll
+      .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val exactTop = exactAll
+      .join(broadcast(top.select(col("vec_id"))), Seq("vec_id"))
+    val nc = cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+    top
+      .join(broadcast(exactTop), Seq("vec_id"))
+      .join(broadcast(globalTop), Seq("vec_id"), "left")
+      .crossJoin(broadcast(nc))
+      .select(col("vec_id"), col("adc"), col("exact"),
+        coalesce(col("hit"), lit(0)).as("in_exact"), col("n_cand"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+  }
+
   /** Read the partitioned codes artifact with its schema restored to
     * the written shape: cid back to BIGINT (partition-value inference
     * reads it as INT) and the original (vec_id, cid, c*) column order
