@@ -232,7 +232,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // neither may grow a corpus-wide window as the plans evolve
     "q288_stream_decontamination", "q289_minhash_band_store",
     // q290: two dedup-winner semijoins + shard aggregates, no window
-    "q290_release_diff_audit")
+    "q290_release_diff_audit",
+    // round 13: q291's longest-match window is PARTITIONED BY qid
+    // (<= 2*QB rows). q292 is deliberately absent from the blanket
+    // check — it rides packedOffsets' derived ~sqrt(n) bucket-offset
+    // frame (q264/q287's rationale) and gets its own dedicated test
+    // asserting THAT is its only single-partition window
+    "q291_backoff_ngram_serve")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
@@ -273,6 +279,26 @@ class PlanAuditSpec extends AnyFunSuite {
     keyed.foreach { w =>
       assert(w.partitionSpec.nonEmpty,
         "q264: a doc-grain window lost its PARTITION BY bucket")
+    }
+  }
+
+  test("q292 pack APPLY: the ONLY single-partition window is " +
+    "packedOffsets' derived bucket-offset frame; the segment window " +
+    "stays PARTITIONED BY seq") {
+    checkEnv()
+    val p = plan("q292_pack_apply_masks")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "q292 lost its window stages")
+    val single = wins.filter(w => feedingExchange(w.child)
+      .exists(_.outputPartitioning == SinglePartition))
+    assert(single.size == 1,
+      s"q292: expected exactly 1 bucket-frame global window, " +
+        s"got ${single.size}")
+    val keyed = wins.filterNot(single.contains(_))
+    assert(keyed.nonEmpty, "q292 lost its keyed segment window")
+    keyed.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "q292: a window lost its PARTITION BY")
     }
   }
 
@@ -454,7 +480,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // (q280's rationale) — the served plan is state aggregation.
       "q289_minhash_band_store",
       // q290: both 32-row manifests broadcast into the shard spine
-      "q290_release_diff_audit")
+      "q290_release_diff_audit",
+      // q291: the <= 64-row probe set broadcasts into the stored gd
+      // scan, the matched rows into the continuation scan; q292:
+      // packedOffsets' bucket-offset frame broadcasts under its
+      // derived bound (q264/q287's shape)
+      "q291_backoff_ngram_serve", "q292_pack_apply_masks")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")
