@@ -207,6 +207,24 @@ class Round10Spec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_variants") >= 1))
   }
 
+  test("q262 artifact lifecycle: a fresh session serves the persisted " +
+    "hash table without re-decoding; a stale marker forces the rebuild") {
+    assume(available)
+    run("q262_image_phash_dedup").collect()
+    val before = Round10Final.phashBuilds
+    Round10Final.dropPhashMemo()
+    run("q262_image_phash_dedup").collect()
+    assert(Round10Final.phashBuilds == before,
+      "fresh-marker serve re-ran the decode pass")
+    val marker = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_phash_${VecIndex.dirDigest(dir)}", "_meta.json")
+    java.nio.file.Files.writeString(marker, "{\"stale\":true}")
+    Round10Final.dropPhashMemo()
+    run("q262_image_phash_dedup").collect()
+    assert(Round10Final.phashBuilds == before + 1,
+      "stale marker did not force a rebuild")
+  }
+
   test("q263: the stream spans micro-batches and the streamed store " +
     "equals the batch-built store") {
     assume(available)

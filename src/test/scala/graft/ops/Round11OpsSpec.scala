@@ -76,6 +76,25 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length == 1)
   }
 
+  test("q265 artifact lifecycle: a fresh session reads the persisted " +
+    "signature frames without rebuilding; a stale marker forces the " +
+    "rebuild") {
+    assume(available(dir), s"$dir absent — skipping")
+    graft.SparkEntry.queries("q265_lsh_tuning_curve")(spark, dir).collect()
+    val before = Round11Ops.lshBuilds
+    Round11Ops.dropLshMemo()
+    graft.SparkEntry.queries("q265_lsh_tuning_curve")(spark, dir).collect()
+    assert(Round11Ops.lshBuilds == before,
+      "fresh-marker run rebuilt the signature frames")
+    val marker = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_lshcurve_${VecIndex.dirDigest(dir)}", "_meta.json")
+    java.nio.file.Files.writeString(marker, "{\"stale\":true}")
+    Round11Ops.dropLshMemo()
+    graft.SparkEntry.queries("q265_lsh_tuning_curve")(spark, dir).collect()
+    assert(Round11Ops.lshBuilds == before + 1,
+      "stale marker did not force a rebuild")
+  }
+
   test("q266: the benchmark slice is excluded from the training side " +
     "and the '*' row is the per-source sum") {
     assume(available(dir), s"$dir absent — skipping")
