@@ -282,11 +282,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q292 pack APPLY: the ONLY single-partition window is " +
+  test("q292 pack APPLY: in the EMISSION plan (the build path behind " +
+    "the artifact marker) the ONLY single-partition window is " +
     "packedOffsets' derived bucket-offset frame; the segment window " +
     "stays PARTITIONED BY seq") {
     checkEnv()
-    val p = plan("q292_pack_apply_masks")
+    // the served plan is an artifact read + keyed aggregates (no
+    // windows at all); the scale-critical shape is the emission that
+    // writes the artifact — audit that directly
+    val p = graft.ops.Round13Ops.packApplyRows(spark, dir)
+      .queryExecution.executedPlan
     val wins = p.collect { case w: WindowExec => w }
     assert(wins.nonEmpty, "q292 lost its window stages")
     val single = wins.filter(w => feedingExchange(w.child)
@@ -482,10 +487,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // q290: both 32-row manifests broadcast into the shard spine
       "q290_release_diff_audit",
       // q291: the <= 64-row probe set broadcasts into the stored gd
-      // scan, the matched rows into the continuation scan; q292:
-      // packedOffsets' bucket-offset frame broadcasts under its
-      // derived bound (q264/q287's shape)
-      "q291_backoff_ngram_serve", "q292_pack_apply_masks")
+      // scan, the matched rows into the continuation scan. q292 is
+      // deliberately absent: its served plan is a digest read + keyed
+      // aggregates; the bucket-offset broadcast lives in the emission
+      // plan behind the artifact marker (q288's rationale), which the
+      // dedicated q292 window test audits directly
+      "q291_backoff_ngram_serve")
       .foreach { name =>
         assert(formatted(name).contains("BroadcastExchange"),
           s"$name: expected at least one broadcast join")

@@ -190,6 +190,32 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q292 artifact lifecycle: a fresh session serves the persisted " +
+    "emission digest without re-emitting; a stale marker forces the " +
+    "rebuild; the stored rows equal packApplyRows") {
+    assume(available(dir), s"$dir absent — skipping")
+    run("q292_pack_apply_masks").collect()
+    val before = Round13Ops.packBuilds
+    Round13Ops.dropPackMemo()
+    run("q292_pack_apply_masks").collect()
+    assert(Round13Ops.packBuilds == before,
+      "fresh-marker serve re-emitted the packed rows")
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_packapply_${VecIndex.dirDigest(dir)}")
+    // the persisted artifact is the emission itself
+    val stored = spark.read.parquet(s"$root/rows").collect()
+      .map(_.toSeq).toSet
+    val live = Round13Ops.packApplyRows(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(stored == live, "stored rows differ from the live emission")
+    java.nio.file.Files.writeString(root.resolve("_meta.json"),
+      "{\"stale\":true}")
+    Round13Ops.dropPackMemo()
+    run("q292_pack_apply_masks").collect()
+    assert(Round13Ops.packBuilds == before + 1,
+      "stale marker did not force a rebuild")
+  }
+
   test("q292 reconciles with q264's plan counts and q287's cross-doc " +
     "attention audit") {
     assume(available(dir), s"$dir absent — skipping")
