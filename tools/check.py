@@ -104,10 +104,19 @@ def main():
         if sc != dc:
             failures.append((name, f"columns differ: spark={sc} duck={dc}"))
             continue
-        sdt = [str(spark_df[c].dtype) for c in sc]
-        ddt = [str(duck_df[c].dtype) for c in dc]
-        if sdt != ddt:
-            diffs = [(c, a, b) for c, a, b in zip(sc, sdt, ddt) if a != b]
+        # dtype FAMILY compare: the driver hashes the Python cell values
+        # pandas yields, so int32 vs int64 both render int and match,
+        # but int64 vs float64 renders 28109 vs 28109.0 and fails the
+        # hash (the q280/q283 drift). Flag exactly that class.
+        def fam(dt):
+            k = getattr(dt, "kind", "?")  # i/u int, f float, else exact
+            return k if k in "iuf" else str(dt)
+        sdt = [fam(spark_df[c].dtype) for c in sc]
+        ddt = [fam(duck_df[c].dtype) for c in dc]
+        if [d.replace("u", "i") for d in sdt] != \
+                [d.replace("u", "i") for d in ddt]:
+            diffs = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                     for c, a, b in zip(sc, sdt, ddt) if a != b]
             failures.append((name, f"DTYPE differs (spark, duck): {diffs}"))
             continue
         if len(srows) != len(drows):
