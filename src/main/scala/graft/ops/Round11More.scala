@@ -29,7 +29,7 @@ import graft.Tables
   *    the full recompute, so hash equality proves merge == rebuild.
   *
   * Reference scope: PalNilsson/ask-duckdb keeps no state between
-  * queries (ask.py:1-120); these shapes come from the 100 TB mandate —
+  * queries (query_llm.py:419-506); these shapes come from the 100 TB mandate —
   * at that scale every stats pass and dedup pass must be resumable and
   * incremental, because a full rescan costs days.
   */

@@ -35,7 +35,7 @@ import graft.Tables
   *    pass/fail tallies at thresholds 0.15 / 0.25.
   *
   * Reference scope: PalNilsson/ask-duckdb delegates all query execution
-  * to DuckDB and ships no corpus-assembly surface (ask.py:1-120); these
+  * to DuckDB and ships no corpus-assembly surface (query_llm.py:419-506); these
   * gates come from the 100 TB training-data mandate.
   */
 object Round11Ops {

@@ -23,7 +23,7 @@ import graft.Tables
   *    gram grain).
   *
   * Reference scope: PalNilsson/ask-duckdb has no splits, no state
-  * (ask.py:1-120); 100 TB training-data mandate.
+  * (query_llm.py:419-506); 100 TB training-data mandate.
   */
 object Round12Extra {
 

@@ -20,7 +20,7 @@ import graft.Tables
   *    cid spine (empty cells report 0, q271's totality discipline).
   *
   * Reference scope: PalNilsson/ask-duckdb has no notion of shards,
-  * embeddings, or plans (ask.py:1-120); 100 TB training-data mandate.
+  * embeddings, or plans (query_llm.py:419-506); 100 TB training-data mandate.
   */
 object Round12Final {
 

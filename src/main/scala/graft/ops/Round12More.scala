@@ -26,7 +26,7 @@ import graft.Tables
   *    operators compose without re-reading the corpus per stage.
   *
   * Reference scope: PalNilsson/ask-duckdb keeps no state and composes
-  * nothing (ask.py:1-120); these shapes come from the 100 TB mandate.
+  * nothing (query_llm.py:419-506); these shapes come from the 100 TB mandate.
   */
 object Round12More {
 

@@ -23,7 +23,7 @@ import graft.Tables
   *    compare proves merge-of-artifacts == rebuild.
   *
   * Reference scope: PalNilsson/ask-duckdb delegates all execution to
-  * DuckDB and ships no corpus-maintenance surface (ask.py:1-120); these
+  * DuckDB and ships no corpus-maintenance surface (query_llm.py:419-506); these
   * gates come from the 100 TB training-data mandate.
   */
 object Round12Ops {

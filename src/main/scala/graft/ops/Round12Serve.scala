@@ -30,7 +30,7 @@ import graft.Tables
   *    that decides whether a run needs document-masked attention.
   *
   * Reference scope: PalNilsson/ask-duckdb serves no corpus statistics
-  * and plans nothing (ask.py:1-120); 100 TB training-data mandate.
+  * and plans nothing (query_llm.py:419-506); 100 TB training-data mandate.
   */
 object Round12Serve {
 

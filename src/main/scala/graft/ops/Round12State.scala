@@ -16,17 +16,19 @@ import graft.Tables
   *    This is the shape a crawl pipeline actually runs — eval suites
   *    are fixed, documents arrive forever.
   *  - q289 MINHASH BAND STORE: the near-dup dual of q284's exact-gram
-  *    store — per-band MinHash signature rows persisted as base-corpus
-  *    state, a delta wave joined against the STORE (never the corpus)
-  *    for its near-dup candidates, and the merged store serving the
-  *    full candidate/verified-pair report. Candidate generation is
+  *    store — per-band MinHash signature rows (base + delta slices)
+  *    persisted ONCE per corpus as a marker-gated artifact, with the
+  *    gate serving the periodic full AUDIT over the merged store from
+  *    STORE READS ONLY (delta-touching pairs classified by the stored
+  *    slice flag; a pure delta ingest would join just the delta rows
+  *    against the stored buckets). Candidate generation is
   *    df-BOUNDED per (band, key) bucket (q177's bounded-posting
   *    discipline — the fix the round-11 verdict prescribed for q53's
   *    superlinear bucket join), with the skipped-bucket count reported
   *    IN BAND so the bound is auditable, and mirrored in the oracle.
   *
   * Reference scope: PalNilsson/ask-duckdb keeps no state and no
-  * signature store (ask.py:1-120); 100 TB training-data mandate.
+  * signature store (query_llm.py:419-506); 100 TB training-data mandate.
   */
 object Round12State {
 

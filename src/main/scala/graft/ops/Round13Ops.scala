@@ -38,7 +38,7 @@ import graft.Tables
   *    audit and proves the no-interleaving mask invariant.
   *
   * Reference scope: PalNilsson/ask-duckdb serves no corpus statistics
-  * and emits no training artifacts (ask.py:1-120); 100 TB mandate.
+  * and emits no training artifacts (query_llm.py:419-506); 100 TB mandate.
   */
 object Round13Ops {
 
@@ -233,6 +233,17 @@ object Round13Ops {
         if (!fresh) {
           packApplyRows(s, dir)
             .write.mode("overwrite").parquet(s"$p/rows")
+          // documented bound (q285's argmax-bound discipline): each fp
+          // residue is < M = 1e9+7, and Spark sums in BIGINT before the
+          // modulo, so the partial sum wraps only past ~9.2e18 / 1e9+7
+          // ≈ 9.2e9 rows PER GROUP — here per seq_id, which is capped
+          // at SEQ_LEN rows, ~8 orders of headroom even at 100 TB. The
+          // serve-side fold below sums one residue per SEQUENCE per
+          // k_docs group: ~9.2e9 sequences ≈ 2.4e13 packed tokens, two
+          // orders past a 100 TB corpus. Past that, stage the modulo
+          // via a two-level keyed reduce (sum % M per bucket, then
+          // fold buckets); DuckDB widens to HUGEINT so the oracle
+          // never wraps first.
           s.read.parquet(s"$p/rows")
             .withColumn("fp", expr(sparkFold(
               "concat_ws('|', seq_id, pos, tok, doc_id, seg)")))

@@ -115,8 +115,11 @@ def main():
         ddt = [fam(duck_df[c].dtype) for c in dc]
         if [d.replace("u", "i") for d in sdt] != \
                 [d.replace("u", "i") for d in ddt]:
+            # diff with the SAME u->i normalization as the gate, so a
+            # harmless uint-vs-int pair never muddies the real culprit
             diffs = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
-                     for c, a, b in zip(sc, sdt, ddt) if a != b]
+                     for c, a, b in zip(sc, sdt, ddt)
+                     if a.replace("u", "i") != b.replace("u", "i")]
             failures.append((name, f"DTYPE differs (spark, duck): {diffs}"))
             continue
         if len(srows) != len(drows):
