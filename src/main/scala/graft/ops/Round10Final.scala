@@ -121,31 +121,31 @@ object Round10Final {
   private[ops] def phashArtifact(s: SparkSession, dir: String): String =
     builtPhash.synchronized {
       val sig = VecIndex.tableFileSig(dir, "documents")
-      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_phash_${VecIndex.dirDigest(dir)}").toString
-      val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val p = ArtifactStore.root(
+        s"graft_phash_${VecIndex.dirDigest(dir)}")
       val hit = builtPhash.get(dir).exists { case (_, expect, s0) =>
-        s0 == sig && java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
+        s0 == sig && ArtifactStore.markerOk(p, expect)
       }
       if (!hit) {
         import s.implicits._
         val docs = Tables.table(s, dir, "documents")
         val expect = Round12Ops.docsMarker(docs)
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
-        if (!fresh) {
-          docs.select(col("doc_id")).as[Long]
-            .mapPartitions { batch =>
-              batch.map { id =>
-                val (hi, lo) = aHash(encodeJitterPng(id))
-                (id, hi, lo)
-              }
-            }.toDF("doc_id", "ahash_hi", "ahash_lo")
-            .write.mode("overwrite").parquet(s"$p/hashes")
-          java.nio.file.Files.writeString(marker, expect)
-          phashBuilds += 1
-        }
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(p, expect)) {
+              docs.select(col("doc_id")).as[Long]
+                .mapPartitions { batch =>
+                  batch.map { id =>
+                    val (hi, lo) = aHash(encodeJitterPng(id))
+                    (id, hi, lo)
+                  }
+                }.toDF("doc_id", "ahash_hi", "ahash_lo")
+                .write.mode("overwrite").parquet(s"$p/hashes")
+              ArtifactStore.writeMarker(p, expect)
+              phashBuilds += 1
+            }
+          }
         builtPhash(dir) = (p, expect, sig)
       }
       p

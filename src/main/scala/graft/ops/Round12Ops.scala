@@ -272,8 +272,10 @@ object Round12Ops {
 
   // ---------------- persisted KMV sketch artifact ----------------
 
-  private val built =
-    scala.collection.mutable.Map.empty[String, String]
+  // dir -> (artifact root, content marker, docs file signature);
+  // per-call sig + marker re-validation as everywhere since round 12
+  private val built = scala.collection.mutable
+    .Map.empty[String, (String, String, String)]
   private[ops] var sketchBuilds = 0 // spec hook: counts actual builds
 
   /** Test hook: forget the in-JVM registry (simulates a new session —
@@ -306,24 +308,30 @@ object Round12Ops {
     */
   private[ops] def sketchArtifact(s: SparkSession, dir: String): String =
     built.synchronized {
-      built.getOrElseUpdate(dir, {
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_kmvsk_${VecIndex.dirDigest(dir)}").toString
-        val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val sig = VecIndex.tableFileSig(dir, "documents")
+      val hit = built.get(dir).exists { case (root, expect, s0) =>
+        s0 == sig && ArtifactStore.markerOk(root, expect)
+      }
+      if (!hit) {
+        val p = ArtifactStore.root(
+          s"graft_kmvsk_${VecIndex.dirDigest(dir)}")
         val docs = Tables.table(s, dir, "documents")
         val expect = docsMarker(docs)
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
-        if (!fresh) {
-          val wsrc = Window.partitionBy(col("source")).orderBy(col("b"))
-          Round11Extra.bigrams(docs)
-            .withColumn("rn", row_number().over(wsrc))
-            .filter(col("rn") <= Round11Extra.KMV_K)
-            .write.mode("overwrite").parquet(s"$p/sketch")
-          java.nio.file.Files.writeString(marker, expect)
-          sketchBuilds += 1
-        }
-        p
-      })
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            if (!ArtifactStore.markerOk(p, expect)) {
+              val wsrc =
+                Window.partitionBy(col("source")).orderBy(col("b"))
+              Round11Extra.bigrams(docs)
+                .withColumn("rn", row_number().over(wsrc))
+                .filter(col("rn") <= Round11Extra.KMV_K)
+                .write.mode("overwrite").parquet(s"$p/sketch")
+              ArtifactStore.writeMarker(p, expect)
+              sketchBuilds += 1
+            }
+          }
+        built(dir) = (p, expect, sig)
+      }
+      built(dir)._1
     }
 }

@@ -96,31 +96,32 @@ object Round12Serve {
   private[ops] def ngramArtifact(s: SparkSession, dir: String): String =
     builtNg.synchronized {
       val sig = VecIndex.tableFileSig(dir, "documents")
-      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ngramlm_${VecIndex.dirDigest(dir)}").toString
-      val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val p = ArtifactStore.root(
+        s"graft_ngramlm_${VecIndex.dirDigest(dir)}")
       val hit = builtNg.get(dir).exists { case (_, expect, s0) =>
-        s0 == sig && java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
+        s0 == sig && ArtifactStore.markerOk(p, expect)
       }
       if (!hit) {
         val docs = Tables.table(s, dir, "documents")
         val expect = Round12Ops.docsMarker(docs)
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
-        if (!fresh) {
-          val occ = contextOcc(docs).localCheckpoint(true)
-          occ.groupBy(col("g"))
-            .agg(count(lit(1)).cast("bigint").as("cnt"),
-              countDistinct(col("doc_id")).cast("bigint").as("ndocs"))
-            .write.mode("overwrite").parquet(s"$p/gd")
-          occ.groupBy(col("g"), col("nxt"))
-            .agg(count(lit(1)).cast("bigint").as("c"))
-            .write.mode("overwrite").parquet(s"$p/cont")
-          occ.unpersist()
-          java.nio.file.Files.writeString(marker, expect)
-          ngramBuilds += 1
-        }
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(p, expect)) {
+              val occ = contextOcc(docs).localCheckpoint(true)
+              occ.groupBy(col("g"))
+                .agg(count(lit(1)).cast("bigint").as("cnt"),
+                  countDistinct(col("doc_id")).cast("bigint")
+                    .as("ndocs"))
+                .write.mode("overwrite").parquet(s"$p/gd")
+              occ.groupBy(col("g"), col("nxt"))
+                .agg(count(lit(1)).cast("bigint").as("c"))
+                .write.mode("overwrite").parquet(s"$p/cont")
+              occ.unpersist()
+              ArtifactStore.writeMarker(p, expect)
+              ngramBuilds += 1
+            }
+          }
         builtNg(dir) = (p, expect, sig)
       }
       p

@@ -137,7 +137,13 @@ object Round12State {
     else {
       val lock = deconLocks
         .computeIfAbsent(VecIndex.dirDigest(dir), _ => new Object)
-      val root = lock.synchronized(buildDeconStateFresh(s, dir))
+      // cross-process build lock on the deterministic state root: two
+      // JVMs sharing the scratch tree must not interleave the delete/
+      // rebuild of the wave + state dirs (round-13 advice)
+      val root = lock.synchronized(ArtifactStore.withBuildLock(
+        ArtifactStore.root(
+          s"graft_deconstate_${VecIndex.dirDigest(dir)}"))(
+        buildDeconStateFresh(s, dir)))
       perSession.put(dir, (root, sig))
       root
     }
@@ -207,31 +213,31 @@ object Round12State {
   private[ops] def bandStore(s: SparkSession, dir: String): String =
     builtBand.synchronized {
       val sig = VecIndex.tableFileSig(dir, "documents")
-      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_bandstore_${VecIndex.dirDigest(dir)}").toString
-      val marker = java.nio.file.Paths.get(p, "_meta.json")
+      val p = ArtifactStore.root(
+        s"graft_bandstore_${VecIndex.dirDigest(dir)}")
       val hit = builtBand.get(dir).exists { case (_, expect, s0) =>
-        s0 == sig && java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
+        s0 == sig && ArtifactStore.markerOk(p, expect)
       }
       if (!hit) {
         val expect =
           Round12Ops.docsMarker(Tables.table(s, dir, "documents"))
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == expect
-        if (!fresh) {
-          val sg = shingleFrame(s, dir).localCheckpoint(true)
-          sg.write.mode("overwrite").parquet(s"$p/sg")
-          val rows = bandRows(sg)
-          val isDelta = col("doc_id") % DELTA_MOD === DELTA_RES
-          rows.filter(!isDelta)
-            .write.mode("overwrite").parquet(s"$p/base")
-          rows.filter(isDelta)
-            .write.mode("overwrite").parquet(s"$p/delta")
-          sg.unpersist()
-          java.nio.file.Files.writeString(marker, expect)
-          bandBuilds += 1
-        }
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(p, expect)) {
+              val sg = shingleFrame(s, dir).localCheckpoint(true)
+              sg.write.mode("overwrite").parquet(s"$p/sg")
+              val rows = bandRows(sg)
+              val isDelta = col("doc_id") % DELTA_MOD === DELTA_RES
+              rows.filter(!isDelta)
+                .write.mode("overwrite").parquet(s"$p/base")
+              rows.filter(isDelta)
+                .write.mode("overwrite").parquet(s"$p/delta")
+              sg.unpersist()
+              ArtifactStore.writeMarker(p, expect)
+              bandBuilds += 1
+            }
+          }
         builtBand(dir) = (p, expect, sig)
       }
       p

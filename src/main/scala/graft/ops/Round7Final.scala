@@ -52,14 +52,28 @@ object Round7Final {
     "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) " +
       "* 1000000 + 0.5) AS DOUBLE))"
 
-  // (data dir) -> on-disk artifact root: the kNN graph is a PERSISTED
-  // index artifact (the VecIndex discipline — parquet files + corpus
+  // (data dir) -> (artifact root, bucket modulus, content marker,
+  // embeddings file signature): the kNN graph is a PERSISTED index
+  // artifact (the VecIndex discipline — parquet files + corpus
   // marker, NOT in-JVM checkpoint blocks, which Bench's inter-query
   // cache hygiene would evict). First execution pays the build; every
   // later execution — and a second session over the same corpus —
-  // serves from the files.
-  private val builtGraph =
-    scala.collection.mutable.Map.empty[String, (String, Long)]
+  // serves from the files, and EVERY call re-validates sig + marker
+  // so an in-session embeddings rewrite rebuilds instead of serving
+  // stale (round-13 verdict, What's wrong 1).
+  private val builtGraph = scala.collection.mutable
+    .Map.empty[String, (String, Long, String, String)]
+
+  private[ops] var graphBuilds: Int = 0 // spec hook: actual builds
+
+  /** Test hook: forget the in-JVM graph registries (simulates a new
+    * session — on-disk artifacts and markers survive).
+    */
+  private[ops] def dropGraphMemos(): Unit = {
+    builtGraph.synchronized { builtGraph.clear() }
+    builtIncGraph.synchronized { builtIncGraph.clear() }
+    builtHier.synchronized { builtHier.clear() }
+  }
 
   /** Cheap order-independent corpus identity + graph geometry: any
     * row added/removed/revalued moves it, so a marker match means the
@@ -227,15 +241,17 @@ object Round7Final {
   private def persistedEdges(
       s: SparkSession, root: String, file: String, expect: String,
       srcb: Long)(build: => DataFrame): DataFrame = {
+    val mkf = s"_meta_$file.json"
     builtAux.synchronized {
       builtAux.getOrElseUpdate((root, file, expect), {
-        val mk = java.nio.file.Paths.get(root, s"_meta_$file.json")
-        val fresh = java.nio.file.Files.exists(mk) &&
-          java.nio.file.Files.readString(mk) == expect
-        if (!fresh) {
-          writeEdges(withSb(build, srcb), s"$root/$file")
-          java.nio.file.Files.writeString(mk, expect)
-        }
+        if (!ArtifactStore.markerOk(root, expect, mkf))
+          ArtifactStore.withBuildLock(root) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(root, expect, mkf)) {
+              writeEdges(withSb(build, srcb), s"$root/$file")
+              ArtifactStore.writeMarker(root, expect, mkf)
+            }
+          }
       })
     }
     readEdges(s, s"$root/$file", srcb)
@@ -252,30 +268,39 @@ object Round7Final {
     graft.functions.ArrayDot.register(s)
     val e = Tables.table(s, dir, "embeddings")
     val (path, srcb) = builtGraph.synchronized {
-      builtGraph.getOrElseUpdate(dir, {
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_knngraph_${VecIndex.dirDigest(dir)}").toString
-        val mk = java.nio.file.Paths.get(p, "_meta.json")
+      val sig = VecIndex.tableFileSig(dir, "embeddings")
+      val hit = builtGraph.get(dir).collect {
+        case (p, sb, expect, s0)
+            if s0 == sig && ArtifactStore.markerOk(p, expect) =>
+          (p, sb)
+      }
+      hit.getOrElse {
+        val p = ArtifactStore.root(
+          s"graft_knngraph_${VecIndex.dirDigest(dir)}")
         val (expect, n) = markerN(e)
         val sb = srcbFor(n)
-        val fresh = java.nio.file.Files.exists(mk) &&
-          java.nio.file.Files.readString(mk) == expect
-        if (!fresh) {
-          val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-          val soft = softOf(e, centsRowOf(cb))
-          writeEdges(withSb(topDeg(pairsOf(soft, soft)), sb),
-            s"$p/edges")
-          // crank 0 IS the hard assignment — persisted cell-partitioned
-          // for the entry-point lookup, no serve-time corpus-wide
-          // assign pass, and the probe join prunes to the probed cells
-          soft.filter(col("crank") === 0)
-            .select(col("vec_id"), col("acell"))
-            .write.mode("overwrite").partitionBy("acell")
-            .parquet(s"$p/hard")
-          java.nio.file.Files.writeString(mk, expect)
-        }
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            if (!ArtifactStore.markerOk(p, expect)) {
+              val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
+              val soft = softOf(e, centsRowOf(cb))
+              writeEdges(withSb(topDeg(pairsOf(soft, soft)), sb),
+                s"$p/edges")
+              // crank 0 IS the hard assignment — persisted cell-
+              // partitioned for the entry-point lookup, no serve-time
+              // corpus-wide assign pass, and the probe join prunes to
+              // the probed cells
+              soft.filter(col("crank") === 0)
+                .select(col("vec_id"), col("acell"))
+                .write.mode("overwrite").partitionBy("acell")
+                .parquet(s"$p/hard")
+              ArtifactStore.writeMarker(p, expect)
+              graphBuilds += 1
+            }
+          }
+        builtGraph(dir) = (p, sb, expect, sig)
         (p, sb)
-      })
+      }
     }
     (e.select(col("vec_id"), expr(scaledD).as("ivd")),
       readEdges(s, s"$path/edges", srcb),
@@ -672,17 +697,18 @@ object Round7Final {
        |  ORDER BY ${Pq.duckIntDot("iv", "q.qiv")} DESC, vec_id ASC
        |  LIMIT 10)""".stripMargin
 
-  // (data dir) -> (base-graph artifact root, bucket modulus) for the
-  // incremental family (keyed on the BASE corpus — a different
-  // artifact than q233's full-corpus graph)
-  private val builtIncGraph =
-    scala.collection.mutable.Map.empty[String, (String, Long)]
+  // (data dir) -> (base-graph artifact root, bucket modulus, content
+  // marker, embeddings file signature) for the incremental family
+  // (keyed on the BASE corpus — a different artifact than q233's
+  // full-corpus graph); per-call sig + marker re-validation as above
+  private val builtIncGraph = scala.collection.mutable
+    .Map.empty[String, (String, Long, String, String)]
 
-  // (data dir) -> (layer-1 graph artifact root, bucket modulus)
-  // (q236's sparse upper layer over the same full-corpus codebook as
-  // q233's layer 0)
-  private val builtHier =
-    scala.collection.mutable.Map.empty[String, (String, Long)]
+  // (data dir) -> (layer-1 graph artifact root, bucket modulus,
+  // content marker, embeddings file signature) (q236's sparse upper
+  // layer over the same full-corpus codebook as q233's layer 0)
+  private val builtHier = scala.collection.mutable
+    .Map.empty[String, (String, Long, String, String)]
 
   /** The batched oracle spine appended to graphPrefixSql for q239:
     * `qbb` (the QB query vectors), `probesb` (per-query entry cells),
@@ -856,23 +882,30 @@ object Round7Final {
       val softD = soft.filter(col("vec_id") % 10 >= 8)
       // ---- the persisted v1 artifact (base graph) ----
       val (p, srcbI) = builtIncGraph.synchronized {
-        builtIncGraph.getOrElseUpdate(dir, {
-          val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        val sig = VecIndex.tableFileSig(dir, "embeddings")
+        val hit = builtIncGraph.get(dir).collect {
+          case (r, sb, expect, s0)
+              if s0 == sig && ArtifactStore.markerOk(r, expect) =>
+            (r, sb)
+        }
+        hit.getOrElse {
+          val root = ArtifactStore.root(
             s"graft_knngraphinc_${VecIndex.dirDigest(dir)}")
-            .toString
-          val mk = java.nio.file.Paths.get(root, "_meta.json")
           // the v1 graph additionally depends on the 80/20 base split
           val (expect, nB) = markerN(base, s""","split":"mod10lt8"""")
           val sb = srcbFor(nB)
-          val fresh = java.nio.file.Files.exists(mk) &&
-            java.nio.file.Files.readString(mk) == expect
-          if (!fresh) {
-            writeEdges(withSb(topDeg(pairsOf(softB, softB)), sb),
-              s"$root/edges_v1")
-            java.nio.file.Files.writeString(mk, expect)
-          }
+          if (!ArtifactStore.markerOk(root, expect))
+            ArtifactStore.withBuildLock(root) {
+              if (!ArtifactStore.markerOk(root, expect)) {
+                writeEdges(withSb(topDeg(pairsOf(softB, softB)), sb),
+                  s"$root/edges_v1")
+                ArtifactStore.writeMarker(root, expect)
+                graphBuilds += 1
+              }
+            }
+          builtIncGraph(dir) = (root, sb, expect, sig)
           (root, sb)
-        })
+        }
       }
       val edgesV1 = readEdges(s, s"$p/edges_v1", srcbI)
       // ---- ingest: touched cells -> recomputed sources ----
@@ -981,27 +1014,34 @@ object Round7Final {
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val (p, srcbL1) = builtHier.synchronized {
-        builtHier.getOrElseUpdate(dir, {
-          val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        val sig = VecIndex.tableFileSig(dir, "embeddings")
+        val hit = builtHier.get(dir).collect {
+          case (r, sb, expect, s0)
+              if s0 == sig && ArtifactStore.markerOk(r, expect) =>
+            (r, sb)
+        }
+        hit.getOrElse {
+          val root = ArtifactStore.root(
             s"graft_knngraphl1_${VecIndex.dirDigest(dir)}")
-            .toString
-          val mk = java.nio.file.Paths.get(root, "_meta.json")
           // the layer-1 graph additionally depends on the promotion
           // modulus — changing L1MOD must invalidate persisted edges_l1
           val (expect, nE) = markerN(e, s""","l1mod":$L1MOD""")
           // bucket count rides the layer-1 SOURCE count (~n/L1MOD)
           val sb = srcbFor(math.max(nE / L1MOD, 1L))
-          val fresh = java.nio.file.Files.exists(mk) &&
-            java.nio.file.Files.readString(mk) == expect
-          if (!fresh) {
-            val soft1 = softOf(e, centsRowOf(cb))
-              .filter(col("vec_id") % L1MOD === 1)
-            writeEdges(withSb(topDeg(pairsOf(soft1, soft1)), sb),
-              s"$root/edges_l1")
-            java.nio.file.Files.writeString(mk, expect)
-          }
+          if (!ArtifactStore.markerOk(root, expect))
+            ArtifactStore.withBuildLock(root) {
+              if (!ArtifactStore.markerOk(root, expect)) {
+                val soft1 = softOf(e, centsRowOf(cb))
+                  .filter(col("vec_id") % L1MOD === 1)
+                writeEdges(withSb(topDeg(pairsOf(soft1, soft1)), sb),
+                  s"$root/edges_l1")
+                ArtifactStore.writeMarker(root, expect)
+                graphBuilds += 1
+              }
+            }
+          builtHier(dir) = (root, sb, expect, sig)
           (root, sb)
-        })
+        }
       }
       val edges1 = readEdges(s, s"$p/edges_l1", srcbL1)
       val entry0 = e.filter(col("vec_id") % L1MOD === 1)
@@ -1113,7 +1153,9 @@ object Round7Final {
       // same codebook; serving runs from the compacted files with the
       // exact referee over survivors only.
       val (ivc, edges, hard) = graphArtifacts(s, dir)
-      val (root, srcbG) = builtGraph.synchronized(builtGraph(dir))
+      val (root, srcbG) = builtGraph.synchronized {
+        val (r, sb, _, _) = builtGraph(dir); (r, sb)
+      }
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
       val soft = softOf(e, centsRowOf(cb))

@@ -155,15 +155,17 @@ object Round7Ops {
   private def persistedCodes(
       s: org.apache.spark.sql.SparkSession, root: String, file: String,
       expect: String)(build: => DataFrame): DataFrame = {
+    val mkf = s"_meta_$file.json"
     builtRef.synchronized {
       builtRef.getOrElseUpdate((root, file, expect), {
-        val mk = java.nio.file.Paths.get(root, s"_meta_$file.json")
-        val fresh = java.nio.file.Files.exists(mk) &&
-          java.nio.file.Files.readString(mk) == expect
-        if (!fresh) {
-          build.write.mode("overwrite").parquet(s"$root/$file")
-          java.nio.file.Files.writeString(mk, expect)
-        }
+        if (!ArtifactStore.markerOk(root, expect, mkf))
+          ArtifactStore.withBuildLock(root) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(root, expect, mkf)) {
+              build.write.mode("overwrite").parquet(s"$root/$file")
+              ArtifactStore.writeMarker(root, expect, mkf)
+            }
+          }
       })
     }
     s.read.parquet(s"$root/$file")
