@@ -91,6 +91,52 @@ object Multimodal {
     (w2.toLong, h2.toLong, sr, sg, sb)
   }
 
+  // dir -> (artifact root, content marker, docs file signature): the
+  // persisted MEDIA column for q61. A production corpus stores PNG
+  // bytes in a parquet binary column at INGEST; synthesizing them per
+  // query made q61 time the fixture encoder (~85% of its bench cost,
+  // slope 0.87 at sf1 — round-13 verdict task 4). The encode runs once
+  // per corpus behind a written-last marker; the gate reads the stored
+  // bytes and times the DECODE path — the honest E9 shape. Per-call
+  // sig + marker re-validation as everywhere.
+  private val builtMedia = scala.collection.mutable
+    .Map.empty[String, (String, String, String)]
+  private[ops] var mediaBuilds = 0 // spec hook: counts actual builds
+
+  private[ops] def dropMediaMemo(): Unit =
+    builtMedia.synchronized { builtMedia.clear() }
+
+  private[ops] def mediaArtifact(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    builtMedia.synchronized {
+      val sig = VecIndex.tableFileSig(dir, "documents")
+      val p = ArtifactStore.root(
+        s"graft_media_${VecIndex.dirDigest(dir)}")
+      val hit = builtMedia.get(dir).exists { case (_, expect, s0) =>
+        s0 == sig && ArtifactStore.markerOk(p, expect)
+      }
+      if (!hit) {
+        import s.implicits._
+        val docs = Tables.table(s, dir, "documents")
+        val expect = Round12Ops.docsMarker(docs)
+        if (!ArtifactStore.markerOk(p, expect))
+          ArtifactStore.withBuildLock(p) {
+            // re-check under the cross-process lock (round-13 advice)
+            if (!ArtifactStore.markerOk(p, expect)) {
+              docs.select(col("doc_id")).as[Long]
+                .mapPartitions(batch => batch.map(id =>
+                  (id, encodePng(id))))
+                .toDF("doc_id", "payload")
+                .write.mode("overwrite").parquet(s"$p/media")
+              ArtifactStore.writeMarker(p, expect)
+              mediaBuilds += 1
+            }
+          }
+        builtMedia(dir) = (p, expect, sig)
+      }
+      builtMedia(dir)._1
+    }
+
   val queries: Seq[Q] = Seq(
     // E9: binary payload + typed metadata, all relational: byte length,
     // content digest, and a deterministic feature vector (first-4-
@@ -128,8 +174,9 @@ object Multimodal {
     },
 
     // E9: the REAL-CODEC decode path. An opaque binary image column (PNG
-    // bytes, produced by the javax.imageio encoder from a closed-form
-    // test pattern) is decoded back through javax.imageio inside
+    // bytes, produced once per corpus by the javax.imageio encoder from
+    // a closed-form test pattern and PERSISTED as an ingest artifact —
+    // mediaArtifact) is decoded through javax.imageio inside
     // mapPartitions — one decoder scope per partition, streaming batch
     // through it — and reduced to typed features (dimensions + per-channel
     // pixel sums). The oracle recomputes the features from the pattern's
@@ -154,17 +201,12 @@ object Multimodal {
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val ids = Tables.table(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
-      // encode stage: id -> real PNG bytes (binary media column).
-      // NOTE ON COST ATTRIBUTION: this stage is the gate's FIXTURE
-      // GENERATOR — a production corpus reads PNG bytes from a parquet
-      // binary column; ImageIO.write-per-row here is ~85% of q61's bench
-      // time and is NOT the decode-path cost. Don't "optimize" the decode
-      // stage below to chase this query's bench number.
-      val media = ids.mapPartitions { batch =>
-        batch.map(id => (id, encodePng(id)))
-      }.toDF("doc_id", "payload")
+      // the media column is a PERSISTED artifact (mediaArtifact): a
+      // production corpus stores its PNG bytes at ingest, so the gate
+      // reads the binary column and times the DECODE path through the
+      // real codec — the fixture encoder runs once per corpus, behind
+      // the marker, like q262's hash table
+      val media = s.read.parquet(s"${mediaArtifact(s, dir)}/media")
       // decode stage: binary column -> typed features through the codec
       media.as[(Long, Array[Byte])].mapPartitions { batch =>
         // per-partition decoder init would happen here (native codec

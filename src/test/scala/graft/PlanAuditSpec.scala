@@ -238,7 +238,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // check — it rides packedOffsets' derived ~sqrt(n) bucket-offset
     // frame (q264/q287's rationale) and gets its own dedicated test
     // asserting THAT is its only single-partition window
-    "q291_backoff_ngram_serve")
+    "q291_backoff_ngram_serve",
+    // round 14: q293 is one map pass + per-source hash aggregate (no
+    // window); q294 is two keyed aggregates joined on source — the
+    // audit proves neither grows a corpus-wide window or a
+    // single-partition sort as the plans evolve
+    "q293_markup_extract", "q294_sft_conversation_ops")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 

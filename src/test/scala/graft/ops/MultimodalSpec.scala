@@ -57,4 +57,35 @@ class MultimodalSpec extends AnyFunSuite {
       assert((sr, sg, sb) == (er, eg, eb), s"frame=$f")
     }
   }
+
+  test("q61 media lifecycle: a fresh session reads the persisted media " +
+    "column without re-encoding; a stale marker forces the rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir, "documents.parquet").exists(),
+      s"$dir absent — skipping")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.SparkEntry.queries("q61_multimodal_decode")(spark, dir).collect()
+    val before = Multimodal.mediaBuilds
+    Multimodal.dropMediaMemo()
+    val again = graft.SparkEntry
+      .queries("q61_multimodal_decode")(spark, dir).collect()
+    assert(Multimodal.mediaBuilds == before,
+      "fresh-marker run re-encoded the media column")
+    // the stored payloads really are the corpus media: every doc
+    // decodes to its closed-form stats through the real codec
+    assert(again.length ==
+      graft.Tables.table(spark, dir, "documents").count())
+    val marker = ArtifactStore.markerPath(ArtifactStore.root(
+      s"graft_media_${VecIndex.dirDigest(dir)}"))
+    ArtifactStore.writeString(marker, "{\"stale\":true}")
+    Multimodal.dropMediaMemo()
+    graft.SparkEntry.queries("q61_multimodal_decode")(spark, dir).collect()
+    assert(Multimodal.mediaBuilds == before + 1,
+      "stale marker did not force a rebuild")
+  }
 }
