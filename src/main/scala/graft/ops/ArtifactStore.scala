@@ -134,6 +134,65 @@ object ArtifactStore {
     buf.sortBy(_._1).toSeq
   }
 
+  /** Child entry NAMES (files and directories) of `path`, sorted;
+    * empty when the path does not exist.
+    */
+  def listEntries(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Count data files under `path` (recursive; parquet parts only —
+    * _SUCCESS markers and dot-prefixed shadows excluded). Metadata
+    * only, never file contents.
+    */
+  def dataFileCount(path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Move/rename within one filesystem, replacing any existing target
+    * (the stage-then-publish step of the deterministic wave writers).
+    */
+  def move(from: String, to: String): Unit = {
+    val src = new Path(from)
+    val dst = new Path(to)
+    val fs = fsOf(src)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  /** Set a file's modification time — the wave writers pin mtimes so
+    * a file-stream source discovers arrivals in deterministic order.
+    */
+  def setMtime(path: String, ms: Long): Unit = {
+    val p = new Path(path)
+    fsOf(p).setTimes(p, ms, -1L)
+  }
+
+  /** A fresh unique scratch dir under [[scratchBase]] — the
+    * createTempDirectory of the store (for bounded sink round-trips;
+    * corpus-scale artifacts use deterministic [[root]]s + markers so
+    * re-runs converge instead of accumulating).
+    */
+  def tempRoot(prefix: String): String = {
+    val p = root(
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(12)}")
+    mkdirs(p)
+    p
+  }
+
   def markerPath(root: String, file: String = "_meta.json"): String =
     new Path(root, file).toString
 

@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -21,11 +20,9 @@ import graft.Tables
 object FrontierOps {
   import Det._
 
-  private lazy val scratch: String = {
-    val p = Files.createTempDirectory("graft_frontier")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  // one unique store-scratch dir per JVM (bounded sink round-trips)
+  private lazy val scratch: String =
+    ArtifactStore.tempRoot("graft_frontier")
 
   val queries: Seq[Q] = Seq(
     // E4 at scale: heavy-hitter keys via count-min sketch prefilter +

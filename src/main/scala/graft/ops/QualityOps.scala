@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -79,7 +78,10 @@ object QualityOps {
         |FROM documents
         |WHERE doc_id < 50
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val scratch = Files.createTempDirectory("graft_evolve").toString
+      // deterministic wiped scratch (re-runs converge instead of
+      // accumulating temp dirs across bench passes)
+      val scratch = Round6Ops.scratchDir(
+        s"graft_evolve_${VecIndex.dirDigest(dir)}")
       val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
       docs.filter(col("doc_id") % 2 === 0) // v1: no quality column
         .select(col("doc_id"), col("lang"))

@@ -52,13 +52,8 @@ object Round10More {
       s"list_transform(string_split($t, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 131 + b) % $M)"
 
-  private[ops] def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val w = java.nio.file.Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally w.close()
-    }
+  private[ops] def rmTree(p: String): Unit =
+    ArtifactStore.deleteRecursive(p)
 
   /** The CDC chunk oracle CTE chain over `documents`, ending in
     * `chunks(doc_id, chunk, chash, n_tokens)` — the DuckDB mirror of
@@ -165,12 +160,11 @@ object Round10More {
          |FROM perdoc
          |GROUP BY bucket
          |ORDER BY bucket""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+      val root = ArtifactStore.root(
         s"graft_backfill_${VecIndex.dirDigest(dir)}")
       rmTree(root)
-      java.nio.file.Files.createDirectories(root)
-      val data = root.resolve("data").toString
+      ArtifactStore.mkdirs(root)
+      val data = s"$root/data"
       def transform() = Tables.table(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % NBUCKETS).as("bucket"),
           size(split(col("text"), " ")).cast("bigint").as("ntk"),
@@ -180,17 +174,11 @@ object Round10More {
           .write.mode("append").partitionBy("bucket").parquet(data)
       val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder()
         .build()
-      def writeManifest(name: String, done: Seq[Int]): Unit = {
-        val tmp = java.nio.file.Files.createTempFile(root, "mf", ".tmp")
-        java.nio.file.Files.writeString(tmp,
+      def writeManifest(name: String, done: Seq[Int]): Unit =
+        ArtifactStore.writeStringAtomic(s"$root/$name",
           s"""{"done":[${done.sorted.mkString(",")}]}""")
-        java.nio.file.Files.move(tmp, root.resolve(name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
       def readManifest(name: String): Seq[Int] = {
-        val node = jm.readTree(
-          java.nio.file.Files.readString(root.resolve(name)))
+        val node = jm.readTree(ArtifactStore.readString(s"$root/$name"))
         (0 until node.get("done").size()).map(node.get("done").get(_).asInt())
       }
       // pass 1: two buckets, then "crash" (manifest records progress)

@@ -132,11 +132,11 @@ object Round11Pipeline {
          |  n_rows AS manifest_rows, fpsum AS manifest_fpsum
          |FROM per
          |ORDER BY shard""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      val root = ArtifactStore.root(
         s"graft_release_${VecIndex.dirDigest(dir)}")
       Round10More.rmTree(root)
-      java.nio.file.Files.createDirectories(root)
-      val data = root.resolve("data").toString
+      ArtifactStore.mkdirs(root)
+      val data = s"$root/data"
       val fp = Tables.table(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"),
           expr(Round10More.sparkHash("text")).as("tf"))
@@ -156,16 +156,12 @@ object Round11Pipeline {
         s"""{"shard":${r.getLong(0)},"rows":${r.getLong(1)},""" +
           s""""fpsum":${r.getLong(2)}}"""
       }.mkString("[", ",", "]")
-      val tmp = java.nio.file.Files.createTempFile(root, "mf", ".tmp")
-      java.nio.file.Files.writeString(tmp, body)
-      java.nio.file.Files.move(tmp, root.resolve("manifest.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ArtifactStore.writeStringAtomic(s"$root/manifest.json", body)
       // consumer path: data re-aggregated + manifest re-parsed
       val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder()
         .build()
-      val node = jm.readTree(java.nio.file.Files.readString(
-        root.resolve("manifest.json")))
+      val node = jm.readTree(
+        ArtifactStore.readString(s"$root/manifest.json"))
       val mrows = (0 until node.size()).map { i =>
         (node.get(i).get("shard").asLong(),
           node.get(i).get("rows").asLong(),

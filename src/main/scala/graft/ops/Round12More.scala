@@ -53,15 +53,12 @@ object Round12More {
       docs.filter(col("doc_id") % WAVES === w)
         .unionByName(docs.filter(col("doc_id") % 7 === w))
         .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(src, f"w$w%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
-          w * 60000L))
-      Round10More.rmTree(java.nio.file.Paths.get(stage))
+      val part = ArtifactStore.listEntries(stage)
+        .find(_.endsWith(".parquet")).get
+      val dst = f"$src/w$w%02d.parquet"
+      ArtifactStore.move(s"$stage/$part", dst)
+      ArtifactStore.setMtime(dst, 1000000000000L + w * 60000L)
+      Round10More.rmTree(stage)
     }
   }
 
@@ -70,13 +67,10 @@ object Round12More {
     * these: a crash-replayed batch must see exactly the state the
     * original attempt saw.
     */
-  private[ops] def priorBatchDirs(root: String, batchId: Long): Seq[String] = {
-    val fs = new java.io.File(root).listFiles()
-    if (fs == null) Seq.empty
-    else fs.filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName < f"b$batchId%04d")
-      .map(_.getPath).toSeq.sorted
-  }
+  private[ops] def priorBatchDirs(root: String, batchId: Long): Seq[String] =
+    ArtifactStore.listEntries(root)
+      .filter(n => n.startsWith("b") && n < f"b$batchId%04d")
+      .map(n => s"$root/$n").sorted
 
   /** Fold one micro-batch into the card state. IDEMPOTENT by layout:
     * the batch writes ONLY b<id> subdirs with mode=overwrite, derived

@@ -57,15 +57,12 @@ object Round12State {
       train.filter(col("doc_id") % WAVES === w)
         .unionByName(train.filter(col("doc_id") % 7 === w))
         .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(src, f"w$w%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
-          w * 60000L))
-      Round10More.rmTree(java.nio.file.Paths.get(stage))
+      val part = ArtifactStore.listEntries(stage)
+        .find(_.endsWith(".parquet")).get
+      val dst = f"$src/w$w%02d.parquet"
+      ArtifactStore.move(s"$stage/$part", dst)
+      ArtifactStore.setMtime(dst, 1000000000000L + w * 60000L)
+      Round10More.rmTree(stage)
     }
   }
 

@@ -702,10 +702,7 @@ object Round6Ops {
       out: String): Unit = {
     try {
       q.processAllAvailable()
-      def empty = {
-        val fs = new java.io.File(out).listFiles()
-        fs == null || fs.isEmpty
-      }
+      def empty = ArtifactStore.listEntries(out).isEmpty
       var tries = 0
       while (tries < 40 && empty) {
         Thread.sleep(250); q.processAllAvailable(); tries += 1
@@ -723,22 +720,22 @@ object Round6Ops {
     * (which accumulated O(corpus) parquet across bench sweeps).
     */
   private[ops] def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-      } finally walk.close()
-    }
-    java.nio.file.Files.createDirectories(p)
-    p.toString
+    val p = ArtifactStore.root(name)
+    ArtifactStore.deleteRecursive(p)
+    ArtifactStore.mkdirs(p)
+    p
   }
 
   /** Streaming source over the embeddings parquet (file-stream; the
     * driver dirs ship it as one FILE, which a file stream cannot read
     * directly — expose it through a scratch-dir symlink, as
     * StreamOps.eventsStream does for events).
+    *
+    * Deliberately java.nio, NOT ArtifactStore: this is a local
+    * TESTDATA shim (the driver hands data dirs as local files;
+    * symlinks have no Hadoop-FS equivalent), not an artifact path — a
+    * cluster deployment reads its stream sources from real multi-file
+    * directories and never takes this branch.
     */
   private[ops] def embStream(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {

@@ -305,9 +305,9 @@ object Round7More {
         .start()
       Round6Ops.drainTo(q, out)
       val baseCodes = VecIndex.readCodes(s, idx)
-      val deltas = new java.io.File(out).listFiles()
+      val deltas = ArtifactStore.listEntries(out)
       val inc =
-        if (deltas == null || deltas.isEmpty) baseCodes
+        if (deltas.isEmpty) baseCodes
         else baseCodes.unionByName(s.read.parquet(s"$out/b*"))
       val newb = e.filter(col("vec_id") % 10 >= 8)
       Round7Ops.ingestServe(e, newb, coarse, cbRow, inc, idx)

@@ -111,36 +111,32 @@ object Round8Ops {
     * rollback target q250's GC must retain).
     */
   private[ops] def writePointer(
-      proot: java.nio.file.Path, gen: Long, root: String,
+      proot: String, gen: Long, root: String,
       n: Long, prev: Option[String] = None): Unit = {
     val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder()
       .build()
     val prevField =
       prev.map(p => s""","prev":${jm.writeValueAsString(p)}""").getOrElse("")
-    val tmp = java.nio.file.Files.createTempFile(proot, "current", ".tmp")
-    java.nio.file.Files.writeString(tmp,
+    // unique-temp-then-rename publish via the store (local and HDFS
+    // renames are atomic; readers never see a partial pointer)
+    ArtifactStore.writeStringAtomic(s"$proot/current.json",
       s"""{"gen":$gen,"root":${
         jm.writeValueAsString(root)},"n":$n$prevField}""")
-    java.nio.file.Files.move(tmp, proot.resolve("current.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def pointerNode(proot: java.nio.file.Path) =
+  private def pointerNode(proot: String) =
     com.fasterxml.jackson.databind.json.JsonMapper.builder()
       .build().readTree(
-        java.nio.file.Files.readString(proot.resolve("current.json")))
+        ArtifactStore.readString(s"$proot/current.json"))
 
   /** Parse the pointed-at (gen, root) back out of `current.json`. */
-  private[ops] def readPointer(
-      proot: java.nio.file.Path): (Long, String) = {
+  private[ops] def readPointer(proot: String): (Long, String) = {
     val node = pointerNode(proot)
     (node.get("gen").asLong(), node.get("root").asText())
   }
 
   /** The pointer's named rollback target, if any. */
-  private[ops] def readPointerPrev(
-      proot: java.nio.file.Path): Option[String] =
+  private[ops] def readPointerPrev(proot: String): Option[String] =
     Option(pointerNode(proot).get("prev")).map(_.asText())
 
   // ---------------- shared oracle machinery ---------------------------
@@ -448,9 +444,9 @@ object Round8Ops {
       // ATOMIC pointer flip: write a unique temp file, then move it
       // over current.json atomically — a crash mid-swap leaves the old
       // pointer intact (readers never see a partial write)
-      val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      val proot = ArtifactStore.root(
         s"graft_idxptr_${VecIndex.dirDigest(dir)}")
-      java.nio.file.Files.createDirectories(proot)
+      ArtifactStore.mkdirs(proot)
       writePointer(proot, 2L, v2, n)
       // SERVE through the pointer
       val (_, root) = readPointer(proot)

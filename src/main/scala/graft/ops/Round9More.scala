@@ -38,22 +38,8 @@ object Round9More {
     * parts only — _SUCCESS markers and .crc shadows excluded). Bounded
     * driver-side work: file METADATA, never file contents.
     */
-  private def dataFiles(root: String): Long = {
-    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-    try w.filter(p => {
-      val n = p.getFileName.toString
-      n.endsWith(".parquet") && !n.startsWith(".")
-    }).count()
-    finally w.close()
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val w = java.nio.file.Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally w.close()
-    }
+  private def dataFiles(root: String): Long =
+    ArtifactStore.dataFileCount(root)
 
   /** Copy an artifact root (coarse + pq + codes) into `dst` — the
     * generation-directory layout q250's GC manages. Row counts are the
@@ -231,20 +217,20 @@ object Round9More {
       val base = e.filter(col("vec_id") % 10 < 8)
       val v1 = VecIndex.artifacts(s, dir, "base", base)
       val v2 = VecIndex.artifacts(s, dir, "full", e)
-      val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      val proot = ArtifactStore.root(
         s"graft_idxptr_gc_${VecIndex.dirDigest(dir)}")
       // a deterministic three-generation deployment, rebuilt per run:
       // gen1 (old, the rollback target), gen2 (current), gen3 (a failed
       // candidate — q245's half-written shape)
-      rmTree(proot)
-      java.nio.file.Files.createDirectories(proot)
-      copyArtifact(s, v1, proot.resolve("gen1").toString)
-      copyArtifact(s, v2, proot.resolve("gen2").toString)
+      ArtifactStore.deleteRecursive(proot)
+      ArtifactStore.mkdirs(proot)
+      copyArtifact(s, v1, s"$proot/gen1")
+      copyArtifact(s, v2, s"$proot/gen2")
       VecIndex.readCodes(s, v2).filter(col("vec_id") % 5 =!= 2)
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(proot.resolve("gen3").resolve("codes").toString)
-      Round8Ops.writePointer(proot, 2L, proot.resolve("gen2").toString,
-        e.count(), prev = Some(proot.resolve("gen1").toString))
+        .parquet(s"$proot/gen3/codes")
+      Round8Ops.writePointer(proot, 2L, s"$proot/gen2",
+        e.count(), prev = Some(s"$proot/gen1"))
       val gensBefore = genDirs(proot)
       // GC: keep the pointer's root and its named rollback target,
       // remove everything else
@@ -252,7 +238,7 @@ object Round9More {
       val prevRoot = Round8Ops.readPointerPrev(proot)
       val keep = Set(root) ++ prevRoot
       val removed = gensBefore.filterNot(d => keep.contains(d))
-      removed.foreach(d => rmTree(java.nio.file.Paths.get(d)))
+      removed.foreach(ArtifactStore.deleteRecursive)
       val gensAfter = genDirs(proot)
       require(gen == 2L && gensAfter.toSet == keep,
         s"GC violated: kept ${gensAfter.mkString(",")} expected $keep")
@@ -278,10 +264,7 @@ object Round9More {
   )
 
   /** The generation directories under a pointer root. */
-  private def genDirs(proot: java.nio.file.Path): Seq[String] = {
-    val fs = proot.toFile.listFiles()
-    if (fs == null) Seq.empty
-    else fs.filter(f => f.isDirectory && f.getName.startsWith("gen"))
-      .map(_.toString).sorted.toSeq
-  }
+  private def genDirs(proot: String): Seq[String] =
+    ArtifactStore.listEntries(proot).filter(_.startsWith("gen"))
+      .map(n => s"$proot/$n").sorted
 }

@@ -288,16 +288,16 @@ object Round9Ops {
       val v2full = VecIndex.artifacts(s, dir, "full", e)
       // own pointer root — q244's forward-swap pointer is a separate
       // deployment and must not be disturbed by the rollback drill
-      val proot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      val proot = ArtifactStore.root(
         s"graft_idxptr_rb_${VecIndex.dirDigest(dir)}")
-      java.nio.file.Files.createDirectories(proot)
+      ArtifactStore.mkdirs(proot)
       // generation v1 is CURRENT (it validated when it was promoted)
       val nBase = base.count()
       Round8Ops.writePointer(proot, 1L, v1, nBase)
       // the candidate v2: a HALF-WRITTEN generation — its codes are a
       // deterministic truncation of the real v2's (vec_id % 5 = 2
       // dropped), exactly what a crashed encode job leaves behind
-      val candRoot = proot.resolve("v2cand").toString
+      val candRoot = s"$proot/v2cand"
       VecIndex.readCodes(s, v2full).filter(col("vec_id") % 5 =!= 2)
         .write.mode("overwrite").parquet(s"$candRoot/codes")
       // VALIDATE before promoting: code count must equal corpus size

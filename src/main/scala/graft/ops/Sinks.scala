@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -15,11 +14,10 @@ import graft.Tables
   */
 object Sinks {
 
-  private lazy val scratch: String = {
-    val p = Files.createTempDirectory("graft_sinks")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  // one unique store-scratch dir per JVM: sink round-trips are
+  // bounded-row demonstrations, so a fresh root per session is cheap
+  // and avoids cross-JVM interleaving on a shared name
+  private lazy val scratch: String = ArtifactStore.tempRoot("graft_sinks")
 
   val queries: Seq[Q] = Seq(
     // S2: partitioned parquet sink + partition-pruned read-back. The

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Fold N Bench leg files into one noise-proof figure: per-query MIN.
+
+Usage: legmin.py bench_sfX_leg1.json bench_sfX_leg2.json ...
+Prints one JSON line in Bench's own schema (metric/value/unit/queries/
+sf), where queries[q] = min over legs (ignoring nulls; null only if every
+leg failed the query) and value = sum of the per-query minima. Single
+legs swing +-20% under host noise (SCALE.md "Host-noise addendum"); the
+min across independent legs is the steady-state number the round's
+committed evidence needs (round-13 verdict, next-round task 1).
+"""
+import json
+import sys
+
+legs = []
+for path in sys.argv[1:]:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if '"queries"' in line:
+                legs.append(json.loads(line))
+                break
+if not legs:
+    sys.exit("legmin: no leg files with a queries line")
+
+names = sorted({q for leg in legs for q in leg["queries"]})
+mins = {}
+for q in names:
+    vals = [leg["queries"].get(q) for leg in legs]
+    vals = [v for v in vals if v is not None]
+    mins[q] = min(vals) if vals else None
+
+total = sum(v for v in mins.values() if v is not None)
+out = {
+    "metric": legs[0].get("metric", "bench_total"),
+    "value": round(total, 3),
+    "unit": legs[0].get("unit", "sec"),
+    "queries": mins,
+    "sf": legs[0].get("sf"),
+    "legs": len(legs),
+}
+print(json.dumps(out))
