@@ -14,14 +14,24 @@ import sys
 
 legs = []
 for path in sys.argv[1:]:
+    found = False
     with open(path) as f:
         for line in f:
             line = line.strip()
             if '"queries"' in line:
                 legs.append(json.loads(line))
+                found = True
                 break
+    if not found:
+        # Loud, not silent: a 0-byte/parse-less leg means the Bench run
+        # crashed; folding fewer legs than the protocol claims is how an
+        # empty leg file masqueraded as evidence at round-14 HEAD.
+        sys.exit(f"legmin: leg file {path} has no queries line "
+                 f"(crashed Bench run?) — refusing to fold")
 if not legs:
     sys.exit("legmin: no leg files with a queries line")
+print(f"legmin: folding {len(legs)}/{len(sys.argv) - 1} legs",
+      file=sys.stderr)
 
 names = sorted({q for leg in legs for q in leg["queries"]})
 mins = {}
