@@ -27,9 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // the 217-query suite generates thousands of whole-stage-codegen
+  // the full query suite generates thousands of whole-stage-codegen
   // classes in one JVM; the JDK default 240m code cache overflows and
   // late-suite queries drop to interpreted execution (measured: q53
-  // 5x slower in-suite than isolated before this)
-  "-XX:ReservedCodeCacheSize=512m",
+  // 5x slower in-suite than isolated at 240m; the same mechanism
+  // re-surfaced at 294 gates under 512m — q238 4x slower in-suite,
+  // round-15 attribution in SCALE.md). 1g holds the whole suite's
+  // compiled code resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -22,6 +22,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // retention sweep: UUID-suffixed tempRoot scratch from previous runs
+    // (round-14 verdict, "What's missing 3") — and this run's own on exit
+    graft.ops.ArtifactStore.gcScratch()
     // optional subset (comma-separated names): targeted measurements —
     // e.g. the q199 streaming-throughput number SCALE.md records
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -90,6 +93,7 @@ object Bench {
       .map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest","queries":$slowest}""")
+    graft.ops.ArtifactStore.gcScratch(includeOwn = true)
     spark.stop()
   }
 }

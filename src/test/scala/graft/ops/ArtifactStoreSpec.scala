@@ -47,6 +47,73 @@ class ArtifactStoreSpec extends AnyFunSuite {
     } finally ArtifactStore.deleteRecursive(dir)
   }
 
+  test("writeStringAtomic: a reader racing the publish sees old or " +
+    "new content, never a missing file or a torn write") {
+    val root = tmp()
+    val path = s"$root/ptr.json"
+    try {
+      val bodies = Seq("A" * 64, "B" * 4096) // different lengths: a torn
+      // write or a partial temp file would surface as a mixed read
+      ArtifactStore.writeStringAtomic(path, bodies(0))
+      @volatile var failure: Option[String] = None
+      @volatile var done = false
+      val reader = new Thread(() => {
+        while (!done && failure.isEmpty) {
+          try {
+            val got = ArtifactStore.readString(path)
+            if (!bodies.contains(got))
+              failure = Some(s"torn read: ${got.take(20)}... " +
+                s"len=${got.length}")
+          } catch {
+            case e: java.io.FileNotFoundException =>
+              failure = Some(s"missing-file window: $e")
+          }
+        }
+      })
+      reader.start()
+      for (i <- 1 to 200)
+        ArtifactStore.writeStringAtomic(path, bodies(i % 2))
+      done = true
+      reader.join()
+      assert(failure.isEmpty, failure.getOrElse(""))
+      assert(ArtifactStore.readString(path) == bodies(0))
+    } finally ArtifactStore.deleteRecursive(root)
+  }
+
+  test("gcScratch: prior-run tempRoot scratch is collected, this " +
+    "JVM's own and deterministic digest roots survive includeOwn=false") {
+    // a leftover from a "previous run": the exact name shape tempRoot
+    // mints, but not registered by this JVM
+    val leftover = ArtifactStore.root("graft_gcspec_deadbeef-001")
+    ArtifactStore.mkdirs(leftover)
+    // a deterministic marker-gated root: must never match the sweep
+    val digestRoot = ArtifactStore.root("graft_gcspec_0123456789abcdef")
+    ArtifactStore.mkdirs(digestRoot)
+    val own = ArtifactStore.tempRoot("graft_gcspec")
+    try {
+      // scoped to this spec's prefix: the suite pool runs in parallel,
+      // and an unscoped sweep here could collect a sibling suite's
+      // live scratch (the mains call the unscoped gcScratch, alone in
+      // their JVM)
+      val deleted = ArtifactStore.gcScratchScoped(
+        includeOwn = false, prefix = "graft_gcspec")
+      assert(deleted.contains(leftover), s"leftover survived: $deleted")
+      assert(!ArtifactStore.exists(leftover))
+      assert(ArtifactStore.exists(own), "own live scratch was collected")
+      assert(ArtifactStore.exists(digestRoot),
+        "deterministic digest root was collected")
+      // teardown semantics: includeOwn sweeps this JVM's scratch too
+      val deleted2 = ArtifactStore.gcScratchScoped(
+        includeOwn = true, prefix = "graft_gcspec")
+      assert(deleted2.contains(own))
+      assert(!ArtifactStore.exists(own))
+      assert(ArtifactStore.exists(digestRoot))
+    } finally {
+      ArtifactStore.deleteRecursive(digestRoot)
+      ArtifactStore.deleteRecursive(leftover)
+    }
+  }
+
   test("withBuildLock is re-entrant in-thread, serializes across " +
     "threads, and leaves the lock file behind the root") {
     val root = tmp()
