@@ -32,7 +32,8 @@ object SparkEntry {
       Round11Extra.queries ++ Round11Pipeline.queries ++ Round12Ops.queries ++
       Round12More.queries ++ Round12Final.queries ++ Round12Extra.queries ++
       Round12Serve.queries ++ Round12State.queries ++
-      Round12Release.queries ++ Round13Ops.queries ++ Round14Ops.queries
+      Round12Release.queries ++ Round13Ops.queries ++
+      Round14Ops.queries ++ Round15Ops.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -243,7 +243,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // window); q294 is two keyed aggregates joined on source — the
     // audit proves neither grows a corpus-wide window or a
     // single-partition sort as the plans evolve
-    "q293_markup_extract", "q294_sft_conversation_ops")
+    "q293_markup_extract", "q294_sft_conversation_ops",
+    // round 15: q295 is a columnar scan of the persisted audio column
+    // + pure map decode — the audit proves no window or non-keyed
+    // shuffle grows into the decode path as the plan evolves
+    "q295_audio_decode")
   // q211's window/broadcast shapes hide behind its pair-stage
   // checkpoint — audited directly in the dedicated test below
 
