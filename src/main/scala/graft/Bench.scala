@@ -52,6 +52,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
+      System.err.println(s"[bench] w ${System.currentTimeMillis()} $name")
       cleanup()
     }
     // two timed passes, report per-query MIN: single-pass numbers swing
@@ -70,6 +71,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             None
         }
+      // untimed: wall-clock end marker so external JVM telemetry (jstat /
+      // jcmd samples, tools/diag_codecache.sh) can be correlated to the
+      // per-query windows when attributing in-suite interference
+      res.foreach(t => System.err.println(
+        f"[bench] t ${System.currentTimeMillis()} $name $t%.3f"))
       cleanup()
       res
     }

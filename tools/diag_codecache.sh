@@ -3,13 +3,17 @@
 # Bench leg at the given SF and ReservedCodeCacheSize, with periodic
 # JVM telemetry — `jcmd Compiler.codecache` (occupancy + whether the
 # compiler got disabled) and `jstat -gcutil` (old-gen/GC pressure) —
-# sampled every 30 s. This measures the in-suite interference
+# plus `jstat -compiler` (cumulative JIT compile count/time), sampled
+# every 15 s. Bench emits untimed per-query end markers on stderr
+# ("[bench] t <epoch-ms> <name> <sec>", kept in <outprefix>_stderr.log)
+# so each sample window maps to the query that was running. This
+# measures the in-suite interference
 # hypothesis (q238: 137-145 s in both round-14 sf1 legs vs 35.0 s
 # isolated) instead of guessing it.
 #
 # Usage: diag_codecache.sh <sfdir> <codecache-size> <outprefix>
 # Outputs: <outprefix>_bench.json   (Bench's per-query line)
-#          <outprefix>_telemetry.log (30 s codecache + gcutil samples)
+#          <outprefix>_telemetry.log (15 s codecache + gcutil + compiler samples)
 #          <outprefix>_stderr.log    (JVM warnings, e.g. "CodeCache is full")
 set -e
 cd /root/repo
@@ -23,11 +27,12 @@ echo "[diag] bench pid=$pid sf=$dir codecache=$cc"
 : > "${pre}_telemetry.log"
 while kill -0 "$pid" 2>/dev/null; do
   {
-    echo "=== $(date +%H:%M:%S)"
+    echo "=== $(date +%s) $(date +%H:%M:%S)"
     jcmd "$pid" Compiler.codecache 2>/dev/null || true
     jstat -gcutil "$pid" 2>/dev/null | tail -1 || true
+    jstat -compiler "$pid" 2>/dev/null | tail -1 || true
   } >> "${pre}_telemetry.log"
-  sleep 30
+  sleep 15
 done
 wait "$pid" || true
 grep '"queries"' "${pre}_bench_raw.log" | head -1 > "${pre}_bench.json"
