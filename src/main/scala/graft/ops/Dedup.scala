@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2.3
   * E6 + the training-data-pipeline mandate): exact, deterministic
@@ -259,11 +260,9 @@ object Dedup {
          |      h -> ((2*i + 1) * h + 7919 * i) % 1000000007))), '-') AS band1
          |FROM th
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sig = "transform(sequence(0, 7), i -> " +
-        s"array_min(transform(th, h -> ((2*i + 1) * h + 7919 * i) % 1000000007)))"
       Tables.table(s, dir, "documents")
-        .withColumn("th", expr(sparkTokenHashes))
-        .withColumn("mh", expr(sig))
+        .withColumn("th", TextHash.tokenHashesDistinct(col("text")))
+        .withColumn("mh", TextHash.minHashSig(col("th")))
         // gate projection stringifies the signature (the driver's pandas
         // compare can't sort raw array cells); band keys stay first-class
         .select(col("doc_id"),
@@ -300,7 +299,7 @@ object Dedup {
       // small shuffle on doc_id at any scale.
       val perToken = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(expr(sparkTokenHashes)).as("h"))
+          explode(TextHash.tokenHashesDistinct(col("text"))).as("h"))
       val bitSums = (0 until 30).map { b =>
         sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1))
           .as(s"s$b")

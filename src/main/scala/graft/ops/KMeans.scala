@@ -43,8 +43,9 @@ object KMeans {
     * list_reduce: 0 + p0 + p1 + ... — IEEE-identical in both engines).
     */
   private[ops] def dotFold(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * " +
-      "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    // codegen kernel (graft.functions.DoubleDot) — identical IEEE
+    // ascending fold and null semantics to the HOF zip_with/aggregate
+    s"double_dot($a, $b)"
 
   /** Scale a float vector to fixed-point BIGINTs (1e-6 resolution). */
   private[ops] def scaleExpr(a: String): String =

@@ -101,7 +101,8 @@ object MaintenanceOps {
             .as("n_changed"),
           sum(length(col("t"))).cast("bigint").as("chars_before"),
           sum(length(col("n"))).cast("bigint").as("chars_after"),
-          (sum(expr(sparkFold("n"))) % 1000000007L).as("fp"))
+          (sum(graft.functions.TextHash.charFold(md5(col("n")), 0L, 31L))
+            % 1000000007L).as("fp"))
         .orderBy(col("source"))
     },
 

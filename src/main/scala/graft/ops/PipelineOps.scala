@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Training-data pipeline operators beyond SURVEY.md §2's inventory — the
   * corpus-preparation passes a 100 TB LLM data pipeline runs between raw
@@ -600,7 +601,8 @@ object PipelineOps {
       // transform form re-inlines the char fold into every minhash lambda
       // (projection collapse) — measured ~4× slower at sf0.1
       val perToken = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(Dedup.sparkTokenHashes)).as("h"))
+        .select(col("doc_id"),
+          explode(TextHash.tokenHashesDistinct(col("text"))).as("h"))
       val mins = (0 until 4).map { i =>
         min(expr(s"((2*$i + 1) * h + ${7919 * i}) % 1000000007")).as(s"m$i")
       }

@@ -52,8 +52,9 @@ object Pq {
     * fold; order-free because integer addition is associative).
     */
   private[ops] def intDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
-      "(acc, v) -> acc + v)"
+    // codegen kernel (graft.functions.IntDot) — identical arithmetic
+    // and null semantics to the HOF zip_with/aggregate fold
+    s"int_dot($a, $b)"
 
   private[ops] def duckIntDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -87,18 +88,11 @@ object Pq {
       .crossJoin(broadcast(cbRow))
       .crossJoin(broadcast(q0))
       .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
-    val coded = (0 until M).foldLeft(base) { (df, m) =>
-      df.withColumn(s"c$m", expr(
-        s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
-          s"c -> struct(${intDot(s"slice(sv, ${m * SUB + 1}, $SUB)",
-            "c.cs")} AS d, -c.cid AS nc))).nc"))
-    }
-    val adcSum = (0 until M).map { m =>
-      intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
-        s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
-    }.mkString("(", ") + (", ")")
-    coded
-      .withColumn("adc", expr(adcSum))
+    // the pq_encode kernel computes all M argmax codes in one cbs
+    // pass; adc_codes serves the ADC sum from them
+    base
+      .withColumn("pqc", expr("pq_encode(sv, cbs)"))
+      .withColumn("adc", expr("adc_codes(qs, cbs, pqc)"))
       .withColumn("exact", expr(intDot("sv", "qs")))
       .select(col("vec_id"), col("adc"), col("exact"))
   }
@@ -116,23 +110,17 @@ object Pq {
     val keep = in.columns.filter(_ != "embedding").toIndexedSeq.map(col)
     val base = in.crossJoin(broadcast(cbRow))
       .withColumn("sv", expr(KMeans.scaleExpr("embedding")))
-    val coded = (0 until M).foldLeft(base) { (df, m) =>
-      df.withColumn(s"c$m", expr(
-        s"-array_max(transform(filter(cbs, c -> c.sub = $m), " +
-          s"c -> struct(${intDot(s"slice(sv, ${m * SUB + 1}, $SUB)",
-            "c.cs")} AS d, -c.cid AS nc))).nc"))
-    }
-    coded.select(keep ++ (0 until M).map(m => col(s"c$m")): _*)
+    val coded = base.withColumn("pqc", expr("pq_encode(sv, cbs)"))
+    coded.select(keep ++ (0 until M).map(m =>
+      element_at(col("pqc"), m + 1).as(s"c$m")): _*)
   }
 
   /** ADC sum over stored codes c0..c{M-1} against a per-row `qs` query
     * vector (both broadcast-joined).
     */
   private[ops] def adcFromCodes: String =
-    (0 until M).map { m =>
-      intDot(s"slice(qs, ${m * SUB + 1}, $SUB)",
-        s"element_at(filter(cbs, c -> c.sub = $m AND c.cid = c$m), 1).cs")
-    }.mkString("(", ") + (", ")")
+    s"adc_codes(qs, cbs, array(${(0 until M).map(m => s"c$m")
+      .mkString(", ")}))"
 
   /** Exact integer scores only (no PQ): (vec_id, exact). */
   private def exactScore(in: DataFrame, q0: DataFrame): DataFrame =

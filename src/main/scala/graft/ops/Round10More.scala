@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-10 operability shapes: the restart, telemetry and maintenance
   * machinery a 100 TB pipeline needs around its transforms.
@@ -109,7 +110,8 @@ object Round10More {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
-      .select(col("doc_id"), col("pos"), expr(sparkHash("t")).as("th"))
+      .select(col("doc_id"), col("pos"),
+        TextHash.charFold(col("t"), 7L, 131L).as("th"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val flagged = toks
       .withColumn("l3", lag(col("th"), 3).over(w))
@@ -168,7 +170,7 @@ object Round10More {
       def transform() = Tables.table(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % NBUCKETS).as("bucket"),
           size(split(col("text"), " ")).cast("bigint").as("ntk"),
-          expr(s"${sparkHash("text")}").as("fp"))
+          TextHash.charFold(col("text"), 7L, 131L).as("fp"))
       def process(buckets: Seq[Int]): Unit =
         transform().filter(col("bucket").isin(buckets: _*))
           .write.mode("append").partitionBy("bucket").parquet(data)
@@ -302,7 +304,7 @@ object Round10More {
       // base edges, delta index, delta edges) reads them, and without
       // the checkpoint each action re-hashes the whole corpus
       val sigs = raw
-        .withColumn("th", expr(Dedup.sparkTokenHashes))
+        .withColumn("th", TextHash.tokenHashesDistinct(col("text")))
         .withColumn("mh", expr(mhSig))
         .select(col("doc_id"),
           posexplode(array(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-11 sketch / tokenizer-fit / artifact-maintenance shapes.
   *
@@ -48,7 +49,7 @@ object Round11Extra {
     * sentinel.
     */
   private[ops] def bigrams(docs: DataFrame): DataFrame =
-    docs.withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+    docs.withColumn("th", TextHash.tokenHashesPos(col("text")))
       // 1-token guard mirrors q267: sequence(0, -1) descends and
       // element_at(th, 0) errors on a general corpus
       .filter(size(col("th")) >= 2)

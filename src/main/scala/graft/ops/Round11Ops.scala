@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-11 corpus-assembly shapes: the operations that turn a cleaned
   * document pool into an actual pretraining mix.
@@ -259,9 +260,10 @@ object Round11Ops {
             // re-check under the cross-process lock (round-13 advice)
             if (!ArtifactStore.markerOk(p, expect)) {
               val sg = docs
-                .withColumn("th", expr(sparkPosTokenHashes))
+                .withColumn("th", TextHash.tokenHashesPos(col("text")))
                 .filter(size(col("th")) >= 3)
-                .select(col("doc_id"), expr(sparkShingles(3)).as("sg"))
+                .select(col("doc_id"),
+                  array_distinct(TextHash.posGrams(col("th"), 3)).as("sg"))
                 .localCheckpoint(true)
               sg.write.mode("overwrite").parquet(s"$p/sg")
               val mh = sg
@@ -532,10 +534,10 @@ object Round11Ops {
       val thr = math.min(BMOD, (BMOD * BENCH_N + n - 1) / n)
       val badm = ((col("doc_id") % BMOD) * BMULT) % BMOD
       val sh = Tables.table(s, dir, "documents")
-        .withColumn("th", expr(sparkPosTokenHashes))
+        .withColumn("th", TextHash.tokenHashesPos(col("text")))
         .filter(size(col("th")) >= DECON_W)
         .select(col("doc_id"), col("source"),
-          expr(sparkShingles(DECON_W)).as("sg"))
+          array_distinct(TextHash.posGrams(col("th"), DECON_W)).as("sg"))
       val bg = sh.filter(badm < thr)
         .select(explode(col("sg")).as("g")).distinct()
       val tr = sh.filter(badm >= thr)
@@ -605,11 +607,11 @@ object Round11Ops {
       // error — mirror of the duck CTE's len(th) >= 2 (which yields an
       // empty range and silently drops the doc instead).
       val bg = Tables.table(s, dir, "documents")
-        .withColumn("th", expr(sparkPosTokenHashes))
+        .withColumn("th", TextHash.tokenHashesPos(col("text")))
         .filter(size(col("th")) >= 2)
         .select(col("doc_id"), col("source"),
           size(col("th")).cast("bigint").as("ntk"),
-          explode(expr(sparkBigramHashes())).as("b"))
+          explode(TextHash.posGrams(col("th"), 2)).as("b"))
       val cnt = bg.groupBy(col("doc_id"), col("source"), col("ntk"),
         col("b")).agg(count(lit(1)).as("c"))
       val perdoc = cnt.groupBy(col("doc_id"), col("source"))

@@ -181,7 +181,18 @@ object Round12Extra {
           min(col("doc_id") * POSMUL + col("pos")).as("fk"))
         .filter(col("c") >= 2)
         .select(col("g"), col("fk"))
-      val st = occ.join(gm, "g")
+      // duplicated-gram doc incidences, materialized ONCE: the star
+      // edges and BOTH leak counts read this small frame instead of
+      // re-running the occ explode + gm join per consumer (the old
+      // shape recomputed the O(tokens) gram scan 4x per call). The
+      // per-(g, doc) distinct is answer-preserving for every consumer:
+      // st deduped (a, b) anyway, and countDistinct(split) per g is
+      // blind to within-doc occurrence multiplicity.
+      val jd = occ.join(gm, "g")
+        .select(col("g"), col("fk"), col("doc_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val st = jd
         .select((col("fk") / POSMUL).cast("long").as("a"),
           col("doc_id").as("b"))
         .filter(col("a") =!= col("b"))
@@ -197,26 +208,30 @@ object Round12Extra {
         .withColumn("nsplit",
           when(((col("doc_id") % POSMUL) * BMULT) % POSMUL < VAL_BAND,
             "val").otherwise("train"))
-        .localCheckpoint(true) // consumed by 2 reports + 2 leak counts
-      def leak(splitCol: String) = occ.join(gm, "g")
-        .join(asg.select(col("doc_id"), col(splitCol).as("sp")),
+        .localCheckpoint(true) // consumed by 2 reports + the leak pass
+      // both leak counts in ONE pass over jd: per duplicated gram,
+      // count distinct sides under each split rule, then roll up —
+      // identical to the two per-rule groupBy+filter+count chains
+      val leaks = jd
+        .join(asg.select(col("doc_id"), col("split"), col("nsplit")),
           "doc_id")
         .groupBy(col("g"))
-        .agg(countDistinct(col("sp")).as("nsp"))
-        .filter(col("nsp") > 1)
-        .agg(count(lit(1)).cast("bigint").as("c"))
-      def report(method: String, splitCol: String,
-          leakFrame: org.apache.spark.sql.DataFrame) =
+        .agg(countDistinct(col("split")).as("ns"),
+          countDistinct(col("nsplit")).as("nn"))
+        .agg(count(when(col("ns") > 1, 1)).cast("bigint").as("cs"),
+          count(when(col("nn") > 1, 1)).cast("bigint").as("cn"))
+        .localCheckpoint(true) // one row, consumed by both reports
+      def report(method: String, splitCol: String, leakCol: String) =
         asg.groupBy(col(splitCol).as("split"))
           .agg(count(lit(1)).cast("bigint").as("n_docs"),
             sum(col("ntk")).cast("bigint").as("n_tokens"),
             countDistinct(col("comp")).cast("bigint").as("n_comps"),
             sum(col("doc_id")).cast("bigint").as("id_sum"))
-          .crossJoin(broadcast(leakFrame
-            .withColumnRenamed("c", "n_leaked_grams")))
+          .crossJoin(broadcast(leaks
+            .select(col(leakCol).as("n_leaked_grams"))))
           .withColumn("method", lit(method))
-      report("component", "split", leak("split"))
-        .unionByName(report("naive", "nsplit", leak("nsplit")))
+      report("component", "split", "cs")
+        .unionByName(report("naive", "nsplit", "cn"))
         .select(col("method"), col("split"), col("n_docs"),
           col("n_tokens"), col("n_comps"), col("id_sum"),
           col("n_leaked_grams"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-12 stateful/composed pipeline shapes (the round-11 verdict's
   * "next round" items 7-8):
@@ -356,7 +357,7 @@ object Round12More {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
             col("lang"), col("text")))
       val d0 = din
-        .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+        .withColumn("th", TextHash.tokenHashesPos(col("text")))
         .withColumn("ntk",
           size(split(col("text"), " ")).cast("bigint"))
         .withColumn("h", md5(col("text")))
@@ -364,14 +365,14 @@ object Round12More {
       // stage 1: decontaminate (q266's broadcast bench shingles)
       val bg = d0.filter(badm < thr &&
           size(col("th")) >= Round11Ops.DECON_W)
-        .select(explode(
-          expr(Round11Ops.sparkShingles(Round11Ops.DECON_W))).as("g"))
+        .select(explode(array_distinct(TextHash.posGrams(col("th"),
+          Round11Ops.DECON_W))).as("g"))
         .distinct()
       val tr = d0.filter(badm >= thr)
       val contam = tr.filter(size(col("th")) >= Round11Ops.DECON_W)
         .select(col("doc_id"),
-          explode(expr(Round11Ops.sparkShingles(Round11Ops.DECON_W)))
-            .as("g"))
+          explode(array_distinct(TextHash.posGrams(col("th"),
+            Round11Ops.DECON_W))).as("g"))
         .join(broadcast(bg), Seq("g"), "leftsemi")
         .select(col("doc_id")).distinct()
       val s1 = tr.join(contam, Seq("doc_id"), "left_anti")
@@ -379,7 +380,7 @@ object Round12More {
       // stage 2: Gopher repetition filter (q267's pass rule)
       val rep = s1.filter(size(col("th")) >= 2)
         .select(col("doc_id"), col("ntk"),
-          explode(expr(Round11Ops.sparkBigramHashes())).as("b"))
+          explode(TextHash.posGrams(col("th"), 2)).as("b"))
         .groupBy(col("doc_id"), col("ntk"), col("b"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))

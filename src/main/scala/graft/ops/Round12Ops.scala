@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-12 corpus-maintenance operators (training-data mandate; the
   * round-11 verdict's "next round" items 5-6):
@@ -41,17 +42,20 @@ object Round12Ops {
       s"i -> aggregate(slice($th, i + 1, $w), CAST(0 AS BIGINT), " +
       s"(a, b) -> (a * 131 + b) % $M))"
 
-  /** Docs with toks + positional token hashes (q277/q284's front). */
+  /** Docs with toks + positional token hashes (q277/q284's front;
+    * codegen kernel — TextHashSpec pins HOF equality).
+    */
   private[ops] def spanDocs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
 
   /** Every W-gram occurrence (doc_id, pos, g) of the corpus. */
   private[ops] def gramOcc(d: DataFrame): DataFrame =
     d.filter(size(col("th")) >= SPAN_W)
       .select(col("doc_id"),
-        posexplode(expr(sparkPosGrams(SPAN_W))).as(Seq("pos", "g")))
+        posexplode(TextHash.posGrams(col("th"), SPAN_W))
+          .as(Seq("pos", "g")))
 
   /** The ExactSubstr scrub report from a duplicated-gram frame
     * `gm = (g, fk)` (fk = corpus-first occurrence key) over the

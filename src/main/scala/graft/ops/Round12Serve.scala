@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-12 serving + planning wave (second half of the round):
   *
@@ -77,7 +78,7 @@ object Round12Serve {
     */
   private def contextOcc(docs: DataFrame): DataFrame =
     docs
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .filter(size(col("th")) >= CTX_W + 1)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(th) - ${CTX_W + 1}), i -> struct(" +

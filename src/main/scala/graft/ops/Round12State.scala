@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-12 stateful duals of the round's governance surface:
   *
@@ -82,7 +83,7 @@ object Round12State {
       else uniq.join(s.read.parquet(priorSeen: _*), Seq("doc_id"),
         "left_anti")
     val fresh = fresh0
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .localCheckpoint(true)
     // seen tracks EVERY arrival (dedup state); docs/flag apply q266's
     // shingle-eligibility filter (len >= DECON_W) so the fold's
@@ -94,7 +95,8 @@ object Round12State {
       .write.mode("overwrite").parquet(f"$root/docs/b$batchId%04d")
     elig
       .select(col("doc_id"), col("source"),
-        explode(expr(Round11Ops.sparkShingles(Round11Ops.DECON_W)))
+        explode(array_distinct(
+          TextHash.posGrams(col("th"), Round11Ops.DECON_W)))
           .as("g"))
       .join(broadcast(bg), Seq("g"), "leftsemi")
       .select(col("doc_id"), col("source")).distinct()
@@ -159,10 +161,10 @@ object Round12State {
     // the FIXED eval suite: computed once, pinned, broadcast per batch
     val bg = Tables.table(s, dir, "documents")
       .filter(badm < thr)
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .filter(size(col("th")) >= Round11Ops.DECON_W)
-      .select(explode(expr(
-        Round11Ops.sparkShingles(Round11Ops.DECON_W))).as("g"))
+      .select(explode(array_distinct(TextHash.posGrams(col("th"),
+        Round11Ops.DECON_W))).as("g"))
       .distinct()
       .localCheckpoint(true)
     writeDeconWaves(s, dir, src, thr)
@@ -245,9 +247,10 @@ object Round12State {
     */
   private def shingleFrame(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .filter(size(col("th")) >= 3)
-      .select(col("doc_id"), expr(Round11Ops.sparkShingles(3)).as("sg"))
+      .select(col("doc_id"),
+        array_distinct(TextHash.posGrams(col("th"), 3)).as("sg"))
 
   /** (doc_id, band, key): the b2r4 banding of the 8-slot MinHash
     * signature (q265's curve picks b2r4 as the precision/recall knee

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-13 serving + emission wave — the two halves the round-12
   * verdict named missing:
@@ -108,7 +109,7 @@ object Round13Ops {
   private def buildBo(p: String, docs: DataFrame, expect: String)
       : Unit = {
     val th = docs
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .select(col("doc_id"), col("th"))
       .localCheckpoint(true)
     // every width's occurrences in ONE linear pass family: a
@@ -169,7 +170,7 @@ object Round13Ops {
     val L = Round11Ops.SEQ_LEN
     val off = Round11Ops.packedOffsets(s, dir) // doc_id, ntk, rec, st
     val th = Tables.table(s, dir, "documents")
-      .withColumn("th", expr(Round11Ops.sparkPosTokenHashes))
+      .withColumn("th", TextHash.tokenHashesPos(col("text")))
       .select(col("doc_id"), col("th"))
     // per-token rows: pos 0..ntk-1 are content, pos ntk is the EOS
     val toks = off.join(th, Seq("doc_id"))
@@ -262,8 +263,9 @@ object Round13Ops {
           // fold buckets); DuckDB widens to HUGEINT so the oracle
           // never wraps first.
           s.read.parquet(s"$p/rows")
-            .withColumn("fp", expr(sparkFold(
-              "concat_ws('|', seq_id, pos, tok, doc_id, seg)")))
+            .withColumn("fp", TextHash.charFold(md5(concat_ws("|",
+              col("seq_id"), col("pos"), col("tok"), col("doc_id"),
+              col("seg"))), 0L, 31L))
             .groupBy(col("seq_id"))
             .agg(countDistinct(when(col("is_pad") === 0L,
                 col("doc_id"))).cast("bigint").as("k_docs"),

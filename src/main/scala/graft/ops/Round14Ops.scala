@@ -144,7 +144,8 @@ object Round14Ops {
           sum(col("raw")).cast("bigint").as("raw_chars"),
           sum(length(col("all_txt"))).cast("bigint").as("text_chars"),
           sum(length(col("main"))).cast("bigint").as("kept_chars"),
-          (sum(expr(sparkFold("concat_ws('|', doc_id, main)"))) % M)
+          (sum(graft.functions.TextHash.charFold(
+            md5(concat_ws("|", col("doc_id"), col("main"))), 0L, 31L)) % M)
             .cast("bigint").as("fp"))
         .withColumn("boiler_ppm",
           expr("(1000000 * (text_chars - kept_chars)) div text_chars")

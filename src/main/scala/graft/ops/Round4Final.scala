@@ -307,10 +307,9 @@ object Round4Final {
     */
   private[graft] def winnowKeys(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val charFold = (g: String) =>
-      s"aggregate(transform(filter(split($g, ''), c -> c != ''), " +
-        "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
-        "(a, b) -> (a * 131 + b) % 1000000007)"
+    // codegen kernel (graft.functions.CharFold) — identical fold
+    graft.functions.TextHash.register(df.sparkSession)
+    val charFold = (g: String) => s"char_fold($g, 7, 131)"
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 6)
       .withColumn("m", (size(col("toks")) - 2).cast("long"))

@@ -209,9 +209,11 @@ object Round5Final {
       val reps = wk.groupBy(col("ck")).agg(min(col("doc_id")).as("rep"))
       val j = wk.join(reps, Seq("ck"))
         .select(col("ck"),
-          expr(s"(${sparkFold("CAST(doc_id AS STRING)")} % 10 < 8)")
+          (graft.functions.TextHash.charFold(
+            md5(col("doc_id").cast("string")), 0L, 31L) % 10 < 8)
             .as("doc_tr"),
-          expr(s"(${sparkFold("CAST(rep AS STRING)")} % 10 < 8)")
+          (graft.functions.TextHash.charFold(
+            md5(col("rep").cast("string")), 0L, 31L) % 10 < 8)
             .as("cl_tr"))
       def stats(flag: String, label: String): DataFrame = j
         .groupBy(col("ck"))
@@ -487,8 +489,10 @@ object Round5Final {
       Seq((1L, base, base.limit(0)), (2L, v2, base), (3L, v3, v2))
         .map { case (ver, cur, prev) =>
           cur.agg(count(lit(1)).as("n_rows"),
-            (sum(expr(Round5Ops.sparkRowFold)) % 1000000007L)
-              .as("table_fp"))
+            (sum(graft.functions.TextHash.charFold(md5(concat(
+              col("k").cast("string"), lit("|"),
+              col("v").cast("decimal(18,2)").cast("string"))), 0L, 31L))
+              % 1000000007L).as("table_fp"))
             .crossJoin(broadcast(cdf(cur, prev)))
             .select(lit(ver).as("version"), col("n_rows"),
               col("table_fp"), col("n_inserted"), col("n_updated"))

@@ -109,9 +109,8 @@ object Round5More {
     * mult 131, mod 1e9+7), reduced to a feature bucket.
     */
   private def sparkBucket(t: String): String =
-    s"aggregate(transform(filter(split($t, ''), c -> c != ''), " +
-      "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
-      s"(a, b) -> (a * 131 + b) % 1000000007) % $BUCKETS"
+    // codegen kernel (graft.functions.CharFold) — identical fold
+    s"(char_fold($t, 7, 131) % $BUCKETS)"
 
   private def duckBucket(t: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +

@@ -116,7 +116,10 @@ object Round5Ops {
       step: Long, batchId: String, event: String, version: Long,
       state: DataFrame): DataFrame =
     state.agg(count(lit(1)).as("n_rows"),
-      (sum(expr(sparkRowFold)) % 1000000007L).as("table_fp"))
+      (sum(graft.functions.TextHash.charFold(md5(concat(
+        col("k").cast("string"), lit("|"),
+        col("v").cast("decimal(18,2)").cast("string"))), 0L, 31L))
+        % 1000000007L).as("table_fp"))
       .select(lit(step).as("step"), lit(batchId).as("batch_id"),
         lit(event).as("event"), lit(version).as("version"),
         col("n_rows"), col("table_fp"))

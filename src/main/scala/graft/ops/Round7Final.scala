@@ -266,6 +266,7 @@ object Round7Final {
   private[graft] def graphArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.ArrayDot.register(s)
+      graft.functions.VecDot.register(s)
     val e = Tables.table(s, dir, "embeddings")
     val (path, srcb) = builtGraph.synchronized {
       val sig = VecIndex.tableFileSig(dir, "embeddings")
@@ -353,41 +354,61 @@ object Round7Final {
       s: SparkSession, ivc: DataFrame, edges: DataFrame,
       entries: DataFrame, qb: DataFrame, beam: Int, hops: Int)
       : DataFrame = {
-    def pin(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint(true)
-      s.createDataFrame(cp.rdd, cp.schema)
-    }
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("exact").desc, col("vec_id").asc)
-    def topB(v: DataFrame): DataFrame =
-      ivc.join(broadcast(v), Seq("vec_id"))
+    // Per-query visited sets and exact scores are DRIVER-resident —
+    // bounded at Q·(|entries| + hops·beam·DEG) rows BY CONSTRUCTION
+    // (the coordinator-resident frontier every graph-ANN server
+    // keeps). Each hop costs two bounded jobs for the WHOLE batch
+    // (bucket-pruned neighbor expansion; scoring of not-yet-scored
+    // (qid, id) pairs) instead of the old per-hop localCheckpoint +
+    // full-ivc windowed rescan. Same visited sets: the per-qid beam is
+    // still the top-`beam` scored ids by (exact desc, vec_id asc),
+    // neighbors exclude the query id, and ids absent from ivc count
+    // as visited but never enter the beam (the old inner-join topB
+    // behavior).
+    import scala.jdk.CollectionConverters._
+    val eb = ensureSb(edges)
+    val srcb = srcbOf(eb)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def pairsDf(ps: Seq[(Long, Long)], vCol: String): DataFrame =
+      s.createDataFrame(
+        ps.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+        pairSchema).withColumnRenamed("vec_id", vCol)
+    def scoresOf(ps: Seq[(Long, Long)]): Map[(Long, Long), Long] =
+      if (ps.isEmpty) Map.empty
+      else ivc.join(broadcast(pairsDf(ps, "vec_id")), Seq("vec_id"))
         .join(broadcast(qb), Seq("qid"))
         .select(col("qid"), col("vec_id"),
           expr("CAST(array_dot(ivd, qiv) AS BIGINT)").as("exact"))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= beam).select(col("qid"), col("vec_id"))
-    val eb = ensureSb(edges)
-    val srcb = srcbOf(eb)
-    var visited = pin(entries)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val entryPairs = entries.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val visited = scala.collection.mutable.LinkedHashSet(entryPairs: _*)
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    scores ++= scoresOf(entryPairs)
     for (_ <- 1 to hops) {
-      // the frontier is ≤ Q·beam rows BY CONSTRUCTION — collected to
-      // the driver (the coordinator-resident frontier every graph-ANN
-      // server keeps), so the hop join broadcasts a LOCAL relation and
-      // the bucket filter STATICALLY prunes the partitioned edges scan
-      // to the frontier's buckets
-      val frQ = topB(visited)
-      val frRows = frQ.collect()
-      val frDf = s.createDataFrame(
-          java.util.Arrays.asList(frRows: _*), frQ.schema)
-        .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(1) % srcb).distinct.toSeq
-      val nbrs = eb.filter(col("sb").isin(buckets: _*))
-        .join(broadcast(frDf), Seq("src"))
-        .select(col("qid"), col("dst").as("vec_id"))
-        .filter(col("vec_id") =!= col("qid"))
-      visited = pin(visited.union(nbrs).distinct())
+      val frontier = visited.toSeq.filter(scores.contains)
+        .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+          ps.sortBy(p => (-scores(p), p._2)).take(beam)
+        }
+      if (frontier.nonEmpty) {
+        val buckets = frontier.map(_._2 % srcb).distinct
+        val nbrs = eb.filter(col("sb").isin(buckets: _*))
+          .join(broadcast(pairsDf(frontier, "src")), Seq("src"))
+          .select(col("qid"), col("dst").as("vec_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val fresh = nbrs.filterNot(visited.contains)
+        visited ++= fresh
+        scores ++= scoresOf(fresh.filterNot(scores.contains))
+      }
     }
-    visited
+    pairsDf(visited.toSeq, "vec_id")
   }
 
   /** One micro-batch of the streaming graph serve (q240): the batch's
@@ -414,6 +435,7 @@ object Round7Final {
       batch: DataFrame): DataFrame = {
     val bs = batch.sparkSession
     graft.functions.ArrayDot.register(bs)
+    graft.functions.VecDot.register(bs)
     val qb = batch.select(col("vec_id").as("qid"),
       expr(scaledD).as("qiv"))
     val wp = Window.partitionBy(col("qid"))
@@ -477,43 +499,55 @@ object Round7Final {
   private def beamFrom(
       s: SparkSession, ivc: DataFrame, edges: DataFrame,
       entries: DataFrame, beam: Int, hops: Int): DataFrame = {
-    def pin(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint(true)
-      s.createDataFrame(cp.rdd, cp.schema)
-    }
-    // the query vector is one bounded row — fetched once and inlined
-    // as a literal, so the per-hop scoring plans carry no
-    // broadcast-build job for it
+    // The visited set is ≤ |entries| + hops·beam·DEG rows BY
+    // CONSTRUCTION, so it lives on the DRIVER together with its exact
+    // scores (the coordinator-resident frontier every graph-ANN server
+    // keeps). Each hop is then two bounded jobs — the bucket-pruned
+    // neighbor expansion and the scoring of the not-yet-scored ids —
+    // instead of the old per-hop localCheckpoint + full-ivc beam
+    // rescan (same visited SET: the beam is still the top-`beam`
+    // scored ids by (exact desc, vec_id asc), neighbors of the beam
+    // still come from the same pruned buckets, and ids absent from
+    // ivc still count as visited but never enter the beam, exactly as
+    // the old inner-join topB behaved).
     val qivd = ivc.filter(col("vec_id") === 0).head.getSeq[Double](1)
     val qdot = call_function("array_dot", col("ivd"), typedlit(qivd))
-    def topB(v: DataFrame): DataFrame =
-      ivc.join(broadcast(v), Seq("vec_id"))
-        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
-        .orderBy(col("exact").desc, col("vec_id").asc)
-        .limit(beam).select(col("vec_id"))
-    // each hop's visited set is ≤ |entries| + hop·beam·DEG rows;
-    // checkpointing it keeps every later consumer (next hop's beam,
-    // the final scoring, n_visited) from re-executing the whole
-    // union-of-hops lineage inside its broadcast subplan
     val eb = ensureSb(edges)
     val srcb = srcbOf(eb)
-    var visited = pin(entries)
+    import scala.jdk.CollectionConverters._
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def idsDf(ids: Seq[Long], colName: String): DataFrame =
+      s.createDataFrame(
+        ids.map(org.apache.spark.sql.Row(_)).asJava, idSchema)
+        .withColumnRenamed("vec_id", colName)
+    def scoresOf(ids: Seq[Long]): Map[Long, Long] =
+      if (ids.isEmpty) Map.empty
+      else ivc.join(broadcast(idsDf(ids, "vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), qdot.cast("bigint").as("exact"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val entryIds = entries.collect().map(_.getLong(0)).toSeq
+    val visited = scala.collection.mutable.LinkedHashSet(entryIds: _*)
+    val scores = scala.collection.mutable.Map.empty[Long, Long]
+    scores ++= scoresOf(entryIds)
     for (_ <- 1 to hops) {
-      // bounded frontier collected to the driver: local-relation
-      // broadcast + static bucket pruning of the partitioned scan
-      val frQ = topB(visited)
-      val frRows = frQ.collect()
-      val frDf = s.createDataFrame(
-          java.util.Arrays.asList(frRows: _*), frQ.schema)
-        .withColumnRenamed("vec_id", "src")
-      val buckets = frRows.map(_.getLong(0) % srcb).distinct.toSeq
-      val nbrs = eb.filter(col("sb").isin(buckets: _*))
-        .join(broadcast(frDf), Seq("src"))
-        .select(col("dst").as("vec_id"))
-        .filter(col("vec_id") =!= 0)
-      visited = pin(visited.union(nbrs).distinct())
+      val frontier = visited.toSeq.filter(scores.contains)
+        .sortBy(id => (-scores(id), id)).take(beam)
+      if (frontier.nonEmpty) {
+        val buckets = frontier.map(_ % srcb).distinct
+        val nbrs = eb.filter(col("sb").isin(buckets: _*))
+          .join(broadcast(idsDf(frontier, "src")), Seq("src"))
+          .select(col("dst"))
+          .filter(col("dst") =!= 0)
+          .distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val fresh = nbrs.filterNot(visited.contains)
+        visited ++= fresh
+        scores ++= scoresOf(fresh.filterNot(scores.contains))
+      }
     }
-    visited
+    idsDf(visited.toSeq, "vec_id")
   }
 
   // ---------------- incremental graph ingest (q235) -------------------
@@ -526,9 +560,8 @@ object Round7Final {
   private def fpEdges(edges: DataFrame): DataFrame =
     edges.select(concat_ws("|", col("src"), col("dst")).as("rs"))
       .agg(count(lit(1)).cast("bigint").as("nr"),
-        (sum(expr("aggregate(transform(filter(split(md5(rs), ''), " +
-          "ch -> ch != ''), ch -> CAST(ascii(ch) AS BIGINT)), 0L, " +
-          s"(a, b) -> (a * 31 + b) % $P)")) % P).as("fp"))
+        (sum(graft.functions.TextHash.charFold(md5(col("rs")), 0L, 31L))
+          % P).as("fp"))
 
   /** The matching oracle CTE over an edge CTE. */
   private def duckFpEdges(name: String, src: String): String =
@@ -874,6 +907,7 @@ object Round7Final {
       // beam search FROM THE PERSISTED v2 FILES with the exact-top-10
       // referee.
       graft.functions.ArrayDot.register(s)
+      graft.functions.VecDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
       val base = e.filter(col("vec_id") % 10 < 8)
       val cb = KMeans.codebook(s, base, KMeans.servingK(base), CITERS)

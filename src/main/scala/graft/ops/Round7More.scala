@@ -129,9 +129,11 @@ object Round7More {
   private[ops] def ingestBatch(
       coarse: DataFrame, cbRow: DataFrame, out: String)(
       batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty)
+    if (!batch.isEmpty) {
+      graft.functions.VecDot.register(batch.sparkSession)
       Pq.pqEncode(KMeans.assign(batch, coarse), cbRow)
         .write.mode("overwrite").parquet(s"$out/b$batchId")
+    }
 
   val queries: Seq[Q] = Seq(
     // E7: METADATA-FILTERED vector search over the persisted index.

@@ -68,7 +68,8 @@ object Round7Ops {
         col("vec_id") +: col("cid") +:
           (0 until Pq.M).map(m => col(s"c$m")): _*).as("rs"))
       .agg(count(lit(1)).cast("bigint").as("nr"),
-        (sum(expr(sparkFold("rs"))) % P).as("fp"))
+        (sum(graft.functions.TextHash.charFold(md5(col("rs")), 0L, 31L))
+          % P).as("fp"))
 
   /** The matching oracle CTE over a codes CTE. */
   private def duckFpCte(name: String, src: String): String =

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Round-7 pipeline-hygiene gates: the checks an LLM training-data
   * pipeline runs around its dedup/split machinery rather than inside it.
@@ -92,8 +93,8 @@ object Round7Pipeline {
       val base = Tables.table(s, dir, "documents")
         .select(col("doc_id"), expr(lcgVal).as("is_val"),
           array_sort(array_distinct(split(col("text"), " "))).as("tk"),
-          expr(Dedup.sparkTokenHashes).as("th"))
-        .withColumn("mh", expr(sig))
+          TextHash.tokenHashesDistinct(col("text")).as("th"))
+        .withColumn("mh", TextHash.minHashSig(col("th")))
         .select(col("doc_id"), col("is_val"), col("tk"),
           size(col("tk")).as("ntk"),
           array_join(slice(col("mh"), 1, 4), "-").as("band0"),

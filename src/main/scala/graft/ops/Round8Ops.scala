@@ -202,6 +202,7 @@ object Round8Ops {
          |LEFT JOIN tope t ON r.vec_id = t.vec_id
          |ORDER BY r.exact DESC, r.vec_id ASC""".stripMargin) { (s, dir) =>
       graft.functions.ArrayDot.register(s)
+      graft.functions.VecDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
       val (ivc, edges, hard) = Round7Final.graphArtifacts(s, dir)
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), VecIndex.CITERS)
@@ -278,6 +279,7 @@ object Round8Ops {
          |LEFT JOIN topef t ON s.vec_id = t.vec_id, nv n, ne e2
          |ORDER BY s.exact DESC, s.vec_id ASC""".stripMargin) { (s, dir) =>
       graft.functions.ArrayDot.register(s)
+      graft.functions.VecDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
       val d = Tables.table(s, dir, "documents")
       val (ivc, edges, hard) = Round7Final.graphArtifacts(s, dir)
@@ -340,6 +342,7 @@ object Round8Ops {
          |SELECT * FROM me UNION ALL SELECT * FROM ma
          |ORDER BY mode""".stripMargin) { (s, dir) =>
       graft.functions.ArrayDot.register(s)
+      graft.functions.VecDot.register(s)
       val e = Tables.table(s, dir, "embeddings")
       val (ivc, edges, hard) = Round7Final.graphArtifacts(s, dir)
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), VecIndex.CITERS)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextHash
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.3 E8 + the
   * training-data-pipeline mandate): token statistics, quality scoring,
@@ -162,13 +163,9 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          expr("aggregate(transform(filter(split(text, ''), c -> c != ''), " +
-            "c -> CAST(ascii(c) AS BIGINT)), 0L, " +
-            "(a, b) -> (a * 31 + b) % 1000000007)").as("doc_hash"),
-          expr("array_min(transform(split(text, ' '), " +
-            "t -> aggregate(transform(filter(split(t, ''), c -> c != ''), " +
-            "c -> CAST(ascii(c) AS BIGINT)), 7L, " +
-            "(a, b) -> (a * 131 + b) % 1000000007)))").as("min_token_hash"))
+          TextHash.charFold(col("text"), 0L, 31L).as("doc_hash"),
+          array_min(TextHash.tokenHashesPos(col("text")))
+            .as("min_token_hash"))
         .orderBy(col("doc_id"))
     })
 }
