@@ -111,6 +111,15 @@ object Round7Final {
     * the broadcast codebook inside an array (map-only). Output:
     * (vec_id, ivd fixed-point DOUBLEs, crank, acell).
     */
+  /** Eager localCheckpoint with stats/lineage reset (the shared
+    * iterative-loop discipline): materialize a frame consumed by
+    * several downstream actions exactly once.
+    */
+  private def pinned(s: SparkSession, df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    s.createDataFrame(cp.rdd, cp.schema)
+  }
+
   private def softOf(e: DataFrame, centsRow: DataFrame): DataFrame =
     e.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), expr(scaledD).as("ivd"),
@@ -284,7 +293,7 @@ object Round7Final {
           ArtifactStore.withBuildLock(p) {
             if (!ArtifactStore.markerOk(p, expect)) {
               val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-              val soft = softOf(e, centsRowOf(cb))
+              val soft = pinned(s, softOf(e, centsRowOf(cb)))
               writeEdges(withSb(topDeg(pairsOf(soft, soft)), sb),
                 s"$p/edges")
               // crank 0 IS the hard assignment — persisted cell-
@@ -328,19 +337,26 @@ object Round7Final {
   private def beamOver(
       s: SparkSession, e: DataFrame, cb: DataFrame, ivc: DataFrame,
       edges: DataFrame, hard: DataFrame, beam: Int, hops: Int)
-      : DataFrame = {
+      : DataFrame =
+    beamFrom(s, ivc, edges, entriesOver(e, cb, hard), beam, hops)
+
+  /** The IVF-probed entry points (min survivor per probed cell) —
+    * beam-width-independent, so curve gates (q234) compute them ONCE
+    * and sweep only the hop loop.
+    */
+  private def entriesOver(
+      e: DataFrame, cb: DataFrame, hard: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
       .withColumn("cdot", expr(KMeans.dotFold("embedding", "cs")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= NPROBE).select(col("cid"))
-    val entries = hard
+    hard
       .join(broadcast(probes), col("acell") === col("cid"))
       .filter(col("vec_id") =!= 0)
       .groupBy(col("acell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).distinct()
-    beamFrom(s, ivc, edges, entries, beam, hops)
   }
 
   /** Batched hop loop: every query in the bounded `qb` (qid, qiv)
@@ -859,8 +875,14 @@ object Round7Final {
         .select(col("vec_id"), qdot.cast("bigint").as("ex2"))
         .orderBy(col("ex2").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"))
+      // probes + entry points are beam-width-independent: resolve them
+      // once, sweep only the hop loop per width
+      val (_, gEdges, gHard) = graphArtifacts(s, dir)
+      val eC = Tables.table(s, dir, "embeddings")
+      val cbC = KMeans.codebook(s, eC, KMeans.servingK(eC), CITERS)
+      val entriesC = entriesOver(eC, cbC, gHard)
       BEAMS.map { b =>
-        val visited = beamVisited(s, dir, b, HOPS)
+        val visited = beamFrom(s, ivc, gEdges, entriesC, b, HOPS)
         val top = ivc.join(broadcast(visited), Seq("vec_id"))
           .select(col("vec_id"), qdot.cast("bigint").as("exact"))
           .orderBy(col("exact").desc, col("vec_id").asc).limit(10)
@@ -911,7 +933,12 @@ object Round7Final {
       val e = Tables.table(s, dir, "embeddings")
       val base = e.filter(col("vec_id") % 10 < 8)
       val cb = KMeans.codebook(s, base, KMeans.servingK(base), CITERS)
-      val soft = softOf(e, centsRowOf(cb))
+      // the soft-assignment frame feeds several consumers per call
+      // (touched cells, recompute sources, both pair-join sides, hard
+      // entries) — one eager checkpoint beats re-running the
+      // rank+explode scan per consumer (Bench's inter-query cleanup
+      // unpersists the blocks)
+      val soft = pinned(s, softOf(e, centsRowOf(cb)))
       val softB = soft.filter(col("vec_id") % 10 < 8)
       val softD = soft.filter(col("vec_id") % 10 >= 8)
       // ---- the persisted v1 artifact (base graph) ----
@@ -1192,7 +1219,12 @@ object Round7Final {
       }
       val e = Tables.table(s, dir, "embeddings")
       val cb = KMeans.codebook(s, e, KMeans.servingK(e), CITERS)
-      val soft = softOf(e, centsRowOf(cb))
+      // the soft-assignment frame feeds several consumers per call
+      // (touched cells, recompute sources, both pair-join sides, hard
+      // entries) — one eager checkpoint beats re-running the
+      // rank+explode scan per consumer (Bench's inter-query cleanup
+      // unpersists the blocks)
+      val soft = pinned(s, softOf(e, centsRowOf(cb)))
       // ---- DELETE: tombstone ledger next to the graph artifact ----
       e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
         .write.mode("overwrite").parquet(s"$root/tombstones")
@@ -1288,8 +1320,10 @@ object Round7Final {
         val cp = df.localCheckpoint(true)
         s.createDataFrame(cp.rdd, cp.schema)
       }
-      val qb = ivc.filter(col("vec_id") < QB)
-        .select(col("vec_id").as("qid"), col("ivd").as("qiv"))
+      // 8 rows, but broadcast-rebuilt per hop job across 3 widths —
+      // pin once
+      val qb = pin(ivc.filter(col("vec_id") < QB)
+        .select(col("vec_id").as("qid"), col("ivd").as("qiv")))
       val wprobe = Window.partitionBy(col("qid"))
         .orderBy(col("cdot").desc, col("cid").asc)
       val probesb = e.filter(col("vec_id") < QB)
@@ -1299,12 +1333,14 @@ object Round7Final {
         .withColumn("rn", row_number().over(wprobe))
         .filter(col("rn") <= NPROBE)
         .select(col("qid"), col("cid"))
-      val entries = hard
+      // entry points are width-independent and re-collected per
+      // width's hop loop — pin once
+      val entries = pin(hard
         .join(broadcast(probesb), col("acell") === col("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("acell"))
         .agg(min(col("vec_id")).as("vec_id"))
-        .select(col("qid"), col("vec_id")).distinct()
+        .select(col("qid"), col("vec_id")).distinct())
       // the per-query exact referee — ONE full scan windowed by qid,
       // shared by all three widths
       val wex = Window.partitionBy(col("qid"))
