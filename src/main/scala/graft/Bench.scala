@@ -14,11 +14,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE partition coalescing sized by DATA, not by the core count:
+    // parallelismFirst=false makes AQE honor the advisory partition
+    // size instead of fanning every shuffle out to `cpus` partitions.
+    // This is the scale-adaptive setting (guide §2.2): tiny SFs collapse
+    // to the few tasks their bytes justify (32-way sub-MB tasks cost
+    // more in scheduling than they parallelize — measured: the full
+    // sf0.1 suite runs FASTER at 8 cores than 32 without it), while at
+    // production scale post-shuffle partitions exceed the advisory size
+    // and keep full parallelism. Both knobs stay env-overridable so any
+    // leg can be re-run at the old behavior for comparison.
+    val parFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false")
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

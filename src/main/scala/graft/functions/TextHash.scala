@@ -132,6 +132,32 @@ object TextHashKernels {
   def posGrams(th: ArrayData, w: Int): ArrayData = {
     val n = th.numElements()
     if (n < w) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    // null elements propagate exactly like the HOF original: the
+    // aggregate's (a*131 + b) % M accumulator goes (and stays) null the
+    // moment a null element enters the fold, so a W-window containing
+    // any null yields a null gram. The null-free fast path below is
+    // what every production caller hits (their th columns are kernel
+    // outputs, containsNull=false).
+    var hasNull = false
+    var k = 0
+    while (!hasNull && k < n) { hasNull = th.isNullAt(k); k += 1 }
+    if (hasNull) {
+      val out = new Array[Any](n - w + 1)
+      var i = 0
+      while (i <= n - w) {
+        var g = 0L
+        var ok = true
+        var j = i
+        while (ok && j < i + w) {
+          if (th.isNullAt(j)) ok = false
+          else g = (g * 131L + th.getLong(j) % M) % M
+          j += 1
+        }
+        out(i) = if (ok) java.lang.Long.valueOf(g) else null
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
     val out = new Array[Long](n - w + 1)
     // 131^(w-1) mod M
     var pw = 1L
@@ -158,7 +184,17 @@ object TextHashKernels {
     */
   def minHashSig(th: ArrayData): ArrayData = {
     val n = th.numElements()
-    if (n == 0)
+    // null elements propagate exactly like the HOF original: transform
+    // maps null -> null and array_min SKIPS nulls, so the mins fold
+    // over the non-null elements only (all-null behaves like empty)
+    var m = 0
+    val vals = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      if (!th.isNullAt(k)) { vals(m) = th.getLong(k); m += 1 }
+      k += 1
+    }
+    if (m == 0)
       return new GenericArrayData(Array.fill[Any](8)(null))
     val out = new Array[Long](8)
     var i = 0
@@ -167,8 +203,8 @@ object TextHashKernels {
       val b = 7919L * i
       var mn = Long.MaxValue
       var j = 0
-      while (j < n) {
-        val v = (a * th.getLong(j) + b) % M
+      while (j < m) {
+        val v = (a * vals(j) + b) % M
         if (v < mn) mn = v
         j += 1
       }
@@ -241,7 +277,15 @@ case class PosGrams(child: Expression, w: Int) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"pos_grams expects array<bigint>, got ${t.simpleString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // output grams are nullable exactly when input elements can be null
+  // (a null element nulls every window covering it, matching the HOF
+  // fold); production callers feed containsNull=false kernel outputs,
+  // so their schemas are unchanged
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true // unresolved/invalid child; checkInputDataTypes rejects
+    })
   override def prettyName: String = "pos_grams"
   override def nullSafeEval(a: Any): Any =
     TextHashKernels.posGrams(a.asInstanceOf[ArrayData], w)

@@ -103,6 +103,7 @@ object VecKernels {
     val bestCid = new Array[Long](m)
     val hasBest = new Array[Boolean](m)
     val nullD = new Array[Boolean](m) // a null-d struct seen for sub j
+    val nullCid = new Array[Long](m) // min cid among null-d structs
     val n = cbs.numElements()
     var i = 0
     while (i < n) {
@@ -111,8 +112,9 @@ object VecKernels {
       if (j >= 0 && j < m) {
         val cid = row.getLong(1)
         val d = subDot(sv, j * sub, sub, row.getArray(2))
-        if (d == null) nullD(j) = true
-        else if (!hasBest(j) || d > bestD(j) ||
+        if (d == null) {
+          if (!nullD(j) || cid < nullCid(j)) { nullD(j) = true; nullCid(j) = cid }
+        } else if (!hasBest(j) || d > bestD(j) ||
             (d == bestD(j) && cid < bestCid(j))) {
           hasBest(j) = true
           bestD(j) = d
@@ -124,9 +126,11 @@ object VecKernels {
     var j = 0
     while (j < m) {
       // struct ordering puts null d FIRST, so any non-null d wins the
-      // array_max; all-null (or empty) leaves a null code
+      // array_max; when EVERY entry's d is null the HOF falls through
+      // the equal null d fields to max(-cid) = the smallest cid — the
+      // kernel matches that; an empty subspace leaves a null code
       out(j) = if (hasBest(j)) java.lang.Long.valueOf(bestCid(j))
-        else if (nullD(j)) null
+        else if (nullD(j)) java.lang.Long.valueOf(nullCid(j))
         else null
       j += 1
     }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list `(a, b)`, labeling
@@ -52,9 +53,14 @@ object Components {
     */
   val MaxContractRounds: Int = 64
 
-  /** Telemetry: per-round edge-set-change counts of the most recent
-    * contract() call on this JVM (head = round 1). Written once per call
-    * (single harness thread); tests assert convergence behavior on it.
+  /** Telemetry: per-round progress witnesses of the most recent
+    * contract() call on this JVM (head = round 1). Non-final rounds
+    * record a strictly positive witness (the post-round edge count when
+    * the cheap signature says the set changed); the final round records
+    * the EXACT symmetric-difference count (0 — convergence is always
+    * confirmed by the exact check before the loop exits). Written once
+    * per call (single harness thread); tests assert convergence
+    * behavior on it.
     */
   @volatile private[graft] var lastContractRounds: Seq[Long] = Seq.empty
 
@@ -97,53 +103,102 @@ object Components {
       edges.select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
-    var changed = 1L
+    // Cheap fixpoint detection (guide §2.4 — remove shuffles outright):
+    // each round reads a (count, order-independent xxhash64 XOR)
+    // signature off the just-checkpointed edge set — one tiny agg job
+    // over cached blocks, no join — and only a signature MATCH triggers
+    // the exact symmetric-difference join. Termination therefore stays
+    // EXACT (the full-outer join confirms every exit; a hash collision
+    // merely runs one more round), while non-final rounds skip the
+    // per-round two-sided shuffle the old fixpoint count paid.
+    // bit_xor (not sum): overflow-free under ANSI, order-independent,
+    // and xor's duplicate-cancellation is unreachable — both operands
+    // are distinct'd edge SETS.
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def symDiff(a: DataFrame, b: DataFrame): Long =
+      a.withColumn("r", lit(1))
+        .join(b.withColumn("l", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("r").isNull || col("l").isNull).count()
+    var eSig = sigOf(e)
+    var converged = false
     val rounds = Seq.newBuilder[Long]
     var round = 0
-    while (changed > 0) {
+    while (!converged) {
       round += 1
       if (round > maxRounds) {
         lastContractRounds = rounds.result()
         throw new IllegalStateException(
           s"Components.contract did not converge after $maxRounds rounds " +
-            s"(last round still changed $changed edges; per-round counts: " +
+            s"(per-round progress witnesses: " +
             s"${lastContractRounds.mkString(", ")}) — is the edge input " +
             "deterministic across actions?")
       }
       // LARGE-STAR: every node n connects its LARGER neighbors to the
-      // min of its closed neighborhood — long chains gain skip edges
-      val sym = e.select(col("u").as("n"), col("v").as("w"))
+      // min of its closed neighborhood — long chains gain skip edges.
+      // The neighborhood min is a WINDOW over n, not a groupBy+join:
+      // the min annotates every row inside the one exchange the
+      // clustering needs anyway, where the former
+      // groupBy(n)+join(on n) pair paid a second exchange for the join
+      // probe side (their subtrees differ — partial-agg vs filter — so
+      // exchange reuse never fired). 2 exchanges -> 1 (guide §2.4).
+      val wN = Window.partitionBy(col("n"))
+      val e1 = e.select(col("u").as("n"), col("v").as("w"))
         .union(e.select(col("v").as("n"), col("u").as("w")))
-      val mins = sym.groupBy(col("n")).agg(min(col("w")).as("mw"))
-        .select(col("n"), least(col("n"), col("mw")).as("m"))
-      // e1 is consumed twice below but NOT checkpointed: the two
-      // consumers share its shuffle via exchange reuse, and e2's
-      // checkpoint resets lineage/stats once per round
-      val e1 = sym.filter(col("w") > col("n"))
-        .join(mins, Seq("n"))
-        .select(col("m").as("u"), col("w").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .withColumn("mw", min(col("w")).over(wN))
+        .filter(col("w") > col("n"))
+        .select(least(col("n"), col("mw")).as("u"), col("w").as("v"))
+        .filter(col("u") =!= col("v"))
+      // (e1 is NOT dedup'd: it has at most |e| rows by construction —
+      // the w > n filter keeps one direction per canonical edge — min()
+      // is duplicate-blind and e2's closing distinct canonicalizes, so
+      // the former per-round distinct only added a full exchange.)
       // SMALL-STAR: every node v rewires its SMALLER neighbors (and
       // itself) onto their min — star trees flatten toward the root.
       // In canonical (u < v) form, v's smaller neighborhood is exactly
-      // the edges that arrive at v.
-      val minsS = e1.groupBy(col("v")).agg(min(col("u")).as("m"))
-      val e2 = fresh(spark,
-        e1.join(minsS, Seq("v"))
-          .select(col("u").as("x"), col("m"))
-          .union(minsS.select(col("v").as("x"), col("m")))
-          .filter(col("x") =!= col("m"))
-          .select(least(col("x"), col("m")).as("u"),
-            greatest(col("x"), col("m")).as("v"))
-          .distinct())
-      // fixpoint = the round rewired nothing: same canonical edge set.
-      // One full-outer join counts the symmetric difference — zero
-      // exactly at the fixpoint, a faithful progress count before it.
-      changed = e2.withColumn("r", lit(1))
-        .join(e.withColumn("l", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("r").isNull || col("l").isNull).count()
-      rounds += changed
+      // the edges that arrive at v. Same window trick on v; the
+      // (v, m) self-rows the former union of the groupBy frame added
+      // arrive as one extra projection of the SAME windowed frame (its
+      // duplicates collapse in the closing distinct exactly like the
+      // join shape's did).
+      val wV = Window.partitionBy(col("v"))
+      // one explode emits both rewired rows per edge (u -> m and
+      // v -> m) so the windowed frame is computed once — a union of
+      // two projections would re-run the window per branch (only the
+      // exchange below it is reusable)
+      val e2q = e1.withColumn("m", min(col("u")).over(wV))
+        .select(explode(array(
+          struct(col("u").as("x"), col("m")),
+          struct(col("v").as("x"), col("m")))).as("p"))
+        .filter(col("p.x") =!= col("p.m"))
+        .select(least(col("p.x"), col("p.m")).as("u"),
+          greatest(col("p.x"), col("p.m")).as("v"))
+        .distinct()
+      // debug hook: GRAFT_EXPLAIN_ROUND=1 dumps round 1's physical plan
+      // (the per-round exchange count is the optimization's evidence;
+      // the final label frame's explain can't show it — each round is
+      // truncated behind its checkpoint)
+      if (round == 1 && sys.env.contains("GRAFT_EXPLAIN_ROUND"))
+        // scalastyle:off println
+        println(e2q.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        // scalastyle:on println
+      val e2 = fresh(spark, e2q)
+      val e2Sig = sigOf(e2)
+      if (e2Sig == eSig) {
+        // candidate fixpoint: confirm exactly (collision-safe exit)
+        val d = symDiff(e2, e)
+        rounds += d
+        converged = d == 0L
+      } else {
+        rounds += e2Sig._1 // positive progress witness (edge count)
+      }
       e = e2
+      eSig = e2Sig
     }
     lastContractRounds = rounds.result()
     // at the fixpoint every component is a single star rooted at its

@@ -62,10 +62,23 @@ object Round5More {
 
   /** Spark side of `spanCtes`: all maximal duplicated runs of at least
     * MIN_RUN shingles, as (da, db, diag, cnt, sa, sb).
+    *
+    * Every shuffle through candidate generation is keyed on the 64-bit
+    * xxhash64 of the shingle, never the 3-token string itself — the
+    * string rides along as payload and exact string equality is
+    * re-verified where it matters (the df groupBy keys on (hsh, sh);
+    * the self-join keys on hsh with a post-join `sh = shb` filter), so
+    * the result set is bit-identical to the string-keyed original:
+    * a hash collision only costs a discarded candidate pair, never a
+    * wrong one. The single explicit repartition(hsh) is the ONLY
+    * exchange of shingle rows — the df aggregation, the rare semi-join
+    * and both self-join sides all reuse it (hsh partitioning satisfies
+    * every downstream clustering), so the tokenize+posexplode pass runs
+    * once instead of three times.
     */
   private def spanRuns(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sh = d
+    val sg = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), posexplode(expr(
@@ -73,16 +86,19 @@ object Round5More {
           "i -> concat_ws(' ', element_at(toks, i + 1), " +
           "element_at(toks, i + 2), element_at(toks, i + 3)))"))
         .as(Seq("pos", "sh")))
-    val rare = sh.groupBy(col("sh"))
+      .withColumn("hsh", xxhash64(col("sh")))
+      .repartition(col("hsh"))
+    val rare = sg.groupBy(col("hsh"), col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= DF_CAP)
-      .select(col("sh"))
-    val keyed = sh.join(rare, Seq("sh"))
+      .select(col("hsh"), col("sh"))
+    val keyed = sg.join(rare, Seq("hsh", "sh"))
     keyed
-      .select(col("sh"), col("doc_id").as("da"), col("pos").as("pa"))
-      .join(keyed.select(col("sh"), col("doc_id").as("db"),
-        col("pos").as("pb")), Seq("sh"))
-      .where(col("da") < col("db"))
+      .select(col("hsh"), col("sh"), col("doc_id").as("da"),
+        col("pos").as("pa"))
+      .join(keyed.select(col("hsh"), col("sh").as("shb"),
+        col("doc_id").as("db"), col("pos").as("pb")), Seq("hsh"))
+      .where(col("sh") === col("shb") && col("da") < col("db"))
       .select(col("da"), col("db"), (col("pb") - col("pa")).as("diag"),
         col("pa"), col("pb"))
       .withColumn("grp", col("pa") - row_number().over(

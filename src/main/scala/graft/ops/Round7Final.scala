@@ -406,6 +406,13 @@ object Round7Final {
     val visited = scala.collection.mutable.LinkedHashSet(entryPairs: _*)
     val scores = scala.collection.mutable.Map.empty[(Long, Long), Long]
     scores ++= scoresOf(entryPairs)
+    // runtime guard on the driver-residency bound: the "bounded by
+    // construction" claim rests on the constants (beam, hops, DEG) and
+    // on every edges frame being DEG-capped — if a future constant or
+    // an uncapped edges frame breaks it, fail loud instead of letting
+    // the hop collects grow unbounded on the driver
+    val nQ = entryPairs.map(_._1).distinct.size.toLong
+    val bound = entryPairs.size.toLong + hops.toLong * beam * DEG * nQ
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq.filter(scores.contains)
         .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
@@ -421,6 +428,11 @@ object Round7Final {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val fresh = nbrs.filterNot(visited.contains)
         visited ++= fresh
+        require(visited.size <= bound,
+          s"beamFromBatch visited set ${visited.size} exceeds its " +
+            s"driver-residency bound $bound (entries=${entryPairs.size}, " +
+            s"hops=$hops, beam=$beam, DEG=$DEG, queries=$nQ) — is the " +
+            "edges frame DEG-capped?")
         scores ++= scoresOf(fresh.filterNot(scores.contains))
       }
     }
@@ -547,6 +559,8 @@ object Round7Final {
     val visited = scala.collection.mutable.LinkedHashSet(entryIds: _*)
     val scores = scala.collection.mutable.Map.empty[Long, Long]
     scores ++= scoresOf(entryIds)
+    // runtime guard on the driver-residency bound (see beamFromBatch)
+    val bound = entryIds.size.toLong + hops.toLong * beam * DEG
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq.filter(scores.contains)
         .sortBy(id => (-scores(id), id)).take(beam)
@@ -560,6 +574,11 @@ object Round7Final {
           .collect().map(_.getLong(0)).toSeq
         val fresh = nbrs.filterNot(visited.contains)
         visited ++= fresh
+        require(visited.size <= bound,
+          s"beamFrom visited set ${visited.size} exceeds its " +
+            s"driver-residency bound $bound (entries=${entryIds.size}, " +
+            s"hops=$hops, beam=$beam, DEG=$DEG) — is the edges frame " +
+            "DEG-capped?")
         scores ++= scoresOf(fresh.filterNot(scores.contains))
       }
     }
@@ -880,7 +899,10 @@ object Round7Final {
       val (_, gEdges, gHard) = graphArtifacts(s, dir)
       val eC = Tables.table(s, dir, "embeddings")
       val cbC = KMeans.codebook(s, eC, KMeans.servingK(eC), CITERS)
-      val entriesC = entriesOver(eC, cbC, gHard)
+      // pinned: beamFrom re-collects its entries once per width — an
+      // unpinned frame would re-run the probe-window/join/groupBy plan
+      // 3x per query (the batched q239 path pins for the same reason)
+      val entriesC = pinned(s, entriesOver(eC, cbC, gHard))
       BEAMS.map { b =>
         val visited = beamFrom(s, ivc, gEdges, entriesC, b, HOPS)
         val top = ivc.join(broadcast(visited), Seq("vec_id"))
