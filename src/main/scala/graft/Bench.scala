@@ -14,17 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // AQE partition coalescing sized by DATA, not by the core count:
-    // parallelismFirst=false makes AQE honor the advisory partition
-    // size instead of fanning every shuffle out to `cpus` partitions.
-    // This is the scale-adaptive setting (guide §2.2): tiny SFs collapse
-    // to the few tasks their bytes justify (32-way sub-MB tasks cost
-    // more in scheduling than they parallelize — measured: the full
-    // sf0.1 suite runs FASTER at 8 cores than 32 without it), while at
-    // production scale post-shuffle partitions exceed the advisory size
-    // and keep full parallelism. Both knobs stay env-overridable so any
-    // leg can be re-run at the old behavior for comparison.
-    val parFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false")
+    // AQE coalescing knobs, exposed for measurement legs and DEFAULTED
+    // to Spark's own values. parallelismFirst=false (size-honoring
+    // coalescing) was measured in round 16 and REJECTED: post-shuffle
+    // BYTES do not measure compute, so the 64m advisory collapsed the
+    // CPU-bound string gates to single-task stages (q204 2.9 s -> 7.2 s,
+    // q206 2.9 s -> 7.2 s at sf0.1/32c — every shuffle stage ran 1 task)
+    // while the sub-second tail gates moved only within noise. The env
+    // overrides remain so future legs can re-test on different data
+    // shapes without a rebuild.
+    val parFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -154,7 +154,15 @@ object Round7Final {
   private[graft] def topDeg(ew: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("src"))
       .orderBy(col("w").desc, col("dst").asc)
-    ew.groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+    // ONE src-keyed exchange serves both stages: src-partitioning
+    // satisfies the (src, dst) groupBy's clustering (subset key) AND
+    // the src window's, where the former groupBy-then-window shape
+    // paid an (src, dst) exchange of every duplicated pair and then a
+    // second src exchange of the deduped set (the input arrives
+    // cell-partitioned, so map-side partial agg deduped almost
+    // nothing — same bytes, two shuffles). guide §2.4.
+    ew.repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
       .withColumn("rn", row_number().over(wd))
       .filter(col("rn") <= DEG)
       .select(col("src"), col("dst"))
