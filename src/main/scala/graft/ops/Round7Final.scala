@@ -247,9 +247,18 @@ object Round7Final {
     * one file open per pruned bucket. The cluster shuffle is O(edges)
     * with fixed-width rows — strictly cheaper than the file churn.
     */
-  private def writeEdges(df: DataFrame, path: String): Unit =
+  private def writeEdges(df: DataFrame, path: String): Unit = {
+    // debug hook: the edge-build plan (pairsOf + topDeg) executes inside
+    // this write, not in any returned frame — GRAFT_EXPLAIN_EDGES=1
+    // dumps it for plan-evidence capture
+    if (sys.env.contains("GRAFT_EXPLAIN_EDGES"))
+      // scalastyle:off println
+      println(s"== writeEdges $path\n" + df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      // scalastyle:on println
     df.repartition(col("sb")).write.mode("overwrite").partitionBy("sb")
       .parquet(path)
+  }
 
   /** Marker-gated persisted edges artifact `<root>/<file>`: build and
     * write (bucket-partitioned with modulus `srcb`) only when the
